@@ -1,0 +1,236 @@
+"""Main-content extraction from HTML via DOM-heuristic text-density scoring.
+
+Implements SURVEY.md §2 A3 ("HTML boilerplate strip via DOM-heuristic
+text-density scoring", BASELINE.json north_star).  Built on stdlib
+``html.parser`` only (no lxml/bs4 in this environment).
+
+Algorithm (text-density family — cf. Arc90 Readability / CETD, public
+knowledge):
+
+1. Parse the bytes into a tiny DOM (tag, children, text runs), tolerant of
+   malformed markup: stray end tags are ignored, unclosed tags are closed at
+   end-of-document, and a configurable set of boilerplate subtrees
+   (script/style/nav/header/footer/aside/form/template/...) is dropped during
+   parsing so their text never counts.
+2. Score every *container* candidate (article/main/div/section/td/body) by
+   non-link text mass discounted by link density:
+   ``score = (text_len - link_text_len) * (1 - link_density)``.
+   Ties break on document order → fully deterministic.
+3. Emit the winner's text: block-level boundaries become paragraph breaks
+   (joined with a blank line); text runs inside one block keep their internal
+   newlines (hard-wrapped OCR-style lines are preserved for the downstream
+   line-joining pass).
+
+The function is pure: ``bytes -> str``.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+# Subtrees whose text is boilerplate by construction — dropped at parse time.
+DROP_TAGS = frozenset(
+    {
+        "script",
+        "style",
+        "noscript",
+        "template",
+        "svg",
+        "iframe",
+        "head",
+        "nav",
+        "header",
+        "footer",
+        "aside",
+        "form",
+        "button",
+        "select",
+        "option",
+        "input",
+        "label",
+        "figure",
+        "figcaption",
+    }
+)
+
+# Void elements never get children.
+VOID_TAGS = frozenset(
+    {"br", "hr", "img", "meta", "link", "input", "area", "base", "col", "embed",
+     "param", "source", "track", "wbr"}
+)
+
+# Elements that delimit paragraphs in the emitted text.
+BLOCK_TAGS = frozenset(
+    {"p", "div", "article", "section", "main", "li", "ul", "ol", "table", "tr",
+     "td", "th", "blockquote", "pre", "h1", "h2", "h3", "h4", "h5", "h6",
+     "body", "html", "br"}
+)
+
+# Candidate containers for the main-content region.
+CANDIDATE_TAGS = frozenset({"article", "main", "div", "section", "td", "body"})
+
+
+class _Node:
+    __slots__ = ("tag", "children", "order")
+
+    def __init__(self, tag: str, order: int):
+        self.tag = tag
+        self.children: list = []  # _Node | str
+        self.order = order
+
+
+class _TreeBuilder(HTMLParser):
+    """Tolerant tree builder: ignores stray end tags, auto-closes at EOF,
+    prunes DROP_TAGS subtrees during parsing."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root", 0)
+        self.stack: list[_Node] = [self.root]
+        self._order = 0
+        self._drop_depth = 0  # >0 → inside a dropped subtree
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if self._drop_depth:
+            if tag in DROP_TAGS or tag not in VOID_TAGS:
+                # nested non-void inside a dropped subtree deepens the drop
+                if tag not in VOID_TAGS:
+                    self._drop_depth += 1
+            return
+        if tag in DROP_TAGS:
+            self._drop_depth = 1
+            return
+        self._order += 1
+        node = _Node(tag, self._order)
+        self.stack[-1].children.append(node)
+        if tag not in VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if self._drop_depth:
+            return
+        if tag in DROP_TAGS:
+            return
+        self._order += 1
+        self.stack[-1].children.append(_Node(tag, self._order))
+
+    def handle_endtag(self, tag: str) -> None:
+        if self._drop_depth:
+            if tag in DROP_TAGS or tag not in VOID_TAGS:
+                self._drop_depth -= 1
+            return
+        # close up to the nearest matching open tag; ignore stray end tags
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth or not data:
+            return
+        self.stack[-1].children.append(data)
+
+
+def parse_html(html: bytes | str) -> _Node:
+    """Parse HTML bytes (UTF-8, errors replaced) into a pruned mini-DOM."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        # html.parser is robust, but never let one page kill a batch
+        pass
+    return builder.root
+
+
+def _measure(node: _Node, in_link: bool, acc: dict) -> tuple[int, int, int]:
+    """Return (text_len, link_text_len, tag_count) of the subtree; memoize."""
+    text_len = 0
+    link_len = 0
+    tags = 0
+    for child in node.children:
+        if isinstance(child, str):
+            n = len(child.strip())
+            text_len += n
+            if in_link:
+                link_len += n
+        else:
+            t, l, g = _measure(child, in_link or child.tag == "a", acc)
+            text_len += t
+            link_len += l
+            tags += g + 1
+    acc[id(node)] = (text_len, link_len, tags)
+    return text_len, link_len, tags
+
+
+def _best_candidate(root: _Node) -> _Node:
+    metrics: dict[int, tuple[int, int, int]] = {}
+    _measure(root, False, metrics)
+
+    best = root
+    best_score = -1.0
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        for child in node.children:
+            if isinstance(child, _Node):
+                stack.append(child)
+        if node.tag not in CANDIDATE_TAGS:
+            continue
+        text_len, link_len, _tags = metrics[id(node)]
+        if text_len == 0:
+            continue
+        link_density = link_len / text_len
+        score = (text_len - link_len) * (1.0 - link_density)
+        # deterministic: strictly-greater wins; on exact tie keep the
+        # earlier node in document order
+        if score > best_score or (score == best_score and node.order < best.order):
+            best, best_score = node, score
+    return best
+
+
+def _emit(node: _Node, parts: list[str]) -> None:
+    """Flatten a subtree into text parts; block boundaries insert None-ish
+    paragraph markers (empty strings)."""
+    for child in node.children:
+        if isinstance(child, str):
+            parts.append(child)
+        else:
+            is_block = child.tag in BLOCK_TAGS
+            if is_block:
+                parts.append("\x00")  # paragraph break marker
+            if child.tag == "br":
+                parts.append("\n")
+            _emit(child, parts)
+            if is_block:
+                parts.append("\x00")
+
+
+def node_text(node: _Node) -> str:
+    """Paragraph-preserving text of a subtree: blocks separated by blank
+    lines, intra-block newlines preserved, each paragraph stripped."""
+    parts: list[str] = []
+    _emit(node, parts)
+    paragraphs: list[str] = []
+    buf: list[str] = []
+    for part in parts:
+        if part == "\x00":
+            para = "".join(buf).strip()
+            if para:
+                paragraphs.append(para)
+            buf = []
+        else:
+            buf.append(part)
+    para = "".join(buf).strip()
+    if para:
+        paragraphs.append(para)
+    return "\n\n".join(paragraphs)
+
+
+def extract_main_text(html: bytes | str) -> str:
+    """Strip boilerplate, return the main region's text (see module doc)."""
+    root = parse_html(html)
+    best = _best_candidate(root)
+    return node_text(best)
