@@ -137,6 +137,9 @@ class SpellCorrector:
         low = core.lower()
         if low in self.freqs:
             return token
+        # tokens under 3 chars are too ambiguous to correct deterministically
+        if len(low) < 3:
+            return token
         # only correct plausible single-word cores (letters/digits/apostrophe);
         # compounds like "well-known" are handled by the line joiner and kept.
         if not all(ch.isalnum() or ch == "'" for ch in core):
