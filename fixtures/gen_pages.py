@@ -278,6 +278,7 @@ def generate_pages(
     whale_factor: int = 100,
     strict: bool = True,
     write_golden: bool = True,
+    n_files: int = 1,
 ) -> dict:
     """Generate pages.parquet (+ golden_extracted.parquet, lang_dict_golden
     .parquet) under ``out_dir``.  Returns generation stats."""
@@ -443,7 +444,17 @@ def generate_pages(
         },
         schema=PAGES_SCHEMA,
     )
-    pq.write_table(pages, f"{out_dir}/pages.parquet", row_group_size=2000)
+    if n_files <= 1:
+        pq.write_table(pages, f"{out_dir}/pages.parquet", row_group_size=2000)
+    else:
+        # shard round-robin-free: contiguous slices, one file per shard, so
+        # chunked checkpoint-resume has multiple input fragments to work with
+        per = (pages.num_rows + n_files - 1) // n_files
+        for s in range(n_files):
+            sl = pages.slice(s * per, per)
+            if sl.num_rows:
+                pq.write_table(sl, f"{out_dir}/pages-{s:05d}.parquet",
+                               row_group_size=2000)
     if write_golden:
         golden = pa.table(
             {

@@ -1,0 +1,62 @@
+"""Extraction pipeline configuration (SURVEY.md §3.2)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ExtractionConfig:
+    """All knobs of the two-pass extraction pipeline.
+
+    Scale guidance (100 TB / multi-node): ``files_per_chunk`` bounds the
+    checkpoint-resume unit (one streaming execution per chunk);
+    ``correct_batch_size`` × actor-pool size bounds corrector heap;
+    extraction batches are byte-bounded by Ray's block splitting
+    (``batch_size=None``), so whale pages cannot blow a worker's memory.
+    """
+
+    input_paths: list[str] | str = ""
+    work_dir: str = "/tmp/opr_work"
+
+    # Pass-1 dictionary policy (deterministic → byte-identical output)
+    dict_min_count: int = 8
+    dict_top_k: int | None = 50_000
+
+    # parallelism / batching
+    correct_batch_size: int = 64
+    correct_concurrency: tuple[int, int] | int | None = None  # None → tasks? use pool default
+    extract_num_cpus: float = 1.0
+
+    # skew handling (SURVEY.md §2 A2): sort post-extraction rows by size so
+    # the actor pool sees size-homogeneous batches, biggest first (LPT)
+    size_bucketing: bool = True
+
+    # checkpoint-resume granularity: input files per chunk; 0 → single chunk
+    files_per_chunk: int = 64
+
+    # lineage counters actor
+    enable_lineage: bool = True
+
+    # output column layout
+    extra_columns: tuple[str, ...] = field(default=())
+
+    @property
+    def raw_dir(self) -> str:
+        return f"{self.work_dir}/raw_extracted"
+
+    @property
+    def counts_dir(self) -> str:
+        return f"{self.work_dir}/token_counts"
+
+    @property
+    def dict_path(self) -> str:
+        return f"{self.work_dir}/lang_dict.parquet"
+
+    @property
+    def out_dir(self) -> str:
+        return f"{self.work_dir}/extracted"
+
+    @property
+    def manifest_dir(self) -> str:
+        return f"{self.work_dir}/manifest"

@@ -1,0 +1,261 @@
+"""The flagship two-pass extraction pipeline (SURVEY.md §3.2).
+
+    PASS 1 per chunk : read pages → extract_main_text (stateless tasks,
+                       byte-bounded Arrow batches) → write raw_extracted/
+                       → token partial counts → write token_counts/
+    DICT             : groupby(lang, token).sum over the compact partials
+                       (the only all-to-all shuffle; document text never
+                       shuffles) → deterministic min_count/top_k policy
+                       → lang_dict.parquet
+    PASS 2 per chunk : read raw_extracted → size-bucket sort (skew: biggest
+                       docs first, homogeneous batches) → Corrector actor
+                       pool (dict loaded once per actor) → write extracted/
+
+Chunks are the checkpoint-resume unit: outputs commit atomically and a
+manifest JSON (input fingerprint + per-stage lineage counters) marks
+completion; a rerun skips completed chunks (see state/manifest.py).
+
+Design notes for 100 TB scale:
+* Extraction reads only (url, html, lang) — column pruning at the Parquet
+  footer; the html binary column dies inside the extract stage.
+* Pass 2 reads the much smaller raw_extracted text, so HTML parsing happens
+  exactly once per page even though the pipeline is two-pass.
+* The dictionary shuffle moves per-batch (lang, token, count) partials —
+  orders of magnitude smaller than the corpus.
+* All per-row transforms are pure functions of (row, frozen dict) →
+  byte-identical output at any parallelism (north_rule).
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from ocr_proofreader_ray.config import ExtractionConfig
+from ocr_proofreader_ray.functions.dictionary import apply_dict_policy, save_dicts
+from ocr_proofreader_ray.stages.corrector import Corrector
+from ocr_proofreader_ray.stages.extract import (
+    add_size_bucket,
+    extract_batch,
+    tokenize_count_batch,
+)
+from ocr_proofreader_ray.state import manifest as mstate
+
+
+def discover_files(input_paths: list[str] | str) -> list[str]:
+    if isinstance(input_paths, str):
+        input_paths = [input_paths]
+    files: list[str] = []
+    for p in input_paths:
+        if os.path.isdir(p):
+            files.extend(globmod.glob(os.path.join(p, "*.parquet")))
+        elif any(ch in p for ch in "*?["):
+            files.extend(globmod.glob(p))
+        else:
+            files.append(p)
+    return sorted(set(files))
+
+
+def make_chunks(files: list[str], files_per_chunk: int) -> list[list[str]]:
+    if files_per_chunk <= 0 or files_per_chunk >= len(files):
+        return [files]
+    return [files[i:i + files_per_chunk] for i in range(0, len(files), files_per_chunk)]
+
+
+# --------------------------------------------------------------------------
+# lineage-wrapped stage callables (module-level for clean serialization)
+# --------------------------------------------------------------------------
+
+class _ExtractStage:
+    def __init__(self, lineage_name: str | None, chunk_id: int):
+        self.lineage_name = lineage_name
+        self.chunk_id = chunk_id
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = extract_batch(batch)
+        mstate.report(
+            self.lineage_name, self.chunk_id, "extract",
+            rows_in=batch.num_rows, rows_out=out.num_rows,
+            bytes_in=int(pc.sum(out.column("html_bytes")).as_py() or 0),
+            bytes_out=int(pc.sum(out.column("n_chars")).as_py() or 0),
+        )
+        return out
+
+
+class _CorrectorStage(Corrector):
+    def __init__(self, dict_path: str, lineage_name: str | None, chunk_id: int):
+        super().__init__(dict_path)
+        self.lineage_name = lineage_name
+        self.chunk_id = chunk_id
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = super().__call__(batch)
+        mstate.report(
+            self.lineage_name, self.chunk_id, "correct",
+            rows_in=batch.num_rows, rows_out=out.num_rows,
+            bytes_in=int(pc.sum(pc.utf8_length(batch.column("raw_text"))).as_py() or 0),
+            bytes_out=int(pc.sum(pc.utf8_length(out.column("extracted_text"))).as_py() or 0),
+        )
+        return out
+
+
+# --------------------------------------------------------------------------
+# passes
+# --------------------------------------------------------------------------
+
+def run_pass1_chunk(cfg: ExtractionConfig, chunk_id: int, files: list[str],
+                    lineage_name: str | None) -> None:
+    raw_final = f"{cfg.raw_dir}/chunk-{chunk_id:05d}"
+    counts_final = f"{cfg.counts_dir}/chunk-{chunk_id:05d}"
+
+    raw_tmp, commit_raw = mstate.atomic_output(raw_final)
+    ds = ray.data.read_parquet(files, columns=["url", "html", "lang"])
+    ds = ds.map_batches(
+        _ExtractStage(lineage_name, chunk_id),
+        batch_format="pyarrow",
+        batch_size=None,  # byte-bounded blocks: whale pages can't blow memory
+        num_cpus=cfg.extract_num_cpus,
+        zero_copy_batch=True,
+    )
+    ds.write_parquet(raw_tmp)
+    commit_raw()
+
+    # token partials from the (much smaller) raw text we just wrote — HTML is
+    # parsed exactly once even though the pipeline is two-pass
+    counts_tmp, commit_counts = mstate.atomic_output(counts_final)
+    raw = ray.data.read_parquet(raw_final, columns=["lang", "raw_text"])
+    raw.map_batches(
+        tokenize_count_batch, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    ).write_parquet(counts_tmp)
+    commit_counts()
+
+
+def _topk_per_lang(group: pa.Table, top_k: int) -> pa.Table:
+    idx = pc.sort_indices(
+        group, sort_keys=[("freq", "descending"), ("token", "ascending")]
+    )
+    return group.take(idx[:top_k])
+
+
+def build_dictionary(cfg: ExtractionConfig) -> str:
+    """Global (lang, token) frequency aggregate → deterministic dictionary."""
+    counts = ray.data.read_parquet(sorted(globmod.glob(f"{cfg.counts_dir}/chunk-*/*.parquet")))
+    agg = counts.groupby(["lang", "token"]).aggregate(Sum("count", alias_name="freq"))
+    min_count = cfg.dict_min_count
+    agg = agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("freq"), min_count)),
+        batch_format="pyarrow",
+    )
+    if cfg.dict_top_k is not None:
+        top_k = cfg.dict_top_k
+        agg = agg.groupby("lang").map_groups(
+            lambda g: _topk_per_lang(g, top_k), batch_format="pyarrow"
+        )
+    # post-policy result is small (≤ top_k rows per language) → driver-safe
+    lang_dicts: dict[str, dict[str, int]] = {}
+    for row in agg.take_all():
+        lang_dicts.setdefault(row["lang"], {})[row["token"]] = int(row["freq"])
+    # re-apply the policy centrally for a canonical, sorted, deterministic file
+    lang_dicts = {
+        lang: apply_dict_policy(d, min_count=cfg.dict_min_count, top_k=cfg.dict_top_k)
+        for lang, d in lang_dicts.items()
+    }
+    tmp = cfg.dict_path + ".tmp"
+    save_dicts(lang_dicts, tmp)
+    os.replace(tmp, cfg.dict_path)
+    return cfg.dict_path
+
+
+def run_pass2_chunk(cfg: ExtractionConfig, chunk_id: int,
+                    lineage_name: str | None) -> None:
+    raw_final = f"{cfg.raw_dir}/chunk-{chunk_id:05d}"
+    out_final = f"{cfg.out_dir}/chunk-{chunk_id:05d}"
+    out_tmp, commit = mstate.atomic_output(out_final)
+
+    ds = ray.data.read_parquet(raw_final, columns=["url", "lang", "raw_text", "n_chars"])
+    if cfg.size_bucketing:
+        # explicit size-bucketed batching (north_star): coarse log2 buckets,
+        # biggest first → LPT-style scheduling, homogeneous actor batches
+        ds = ds.map_batches(add_size_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.sort(["size_bucket", "n_chars"], descending=True)
+
+    concurrency = cfg.correct_concurrency
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, ncpu))
+    ds = ds.map_batches(
+        _CorrectorStage,
+        fn_constructor_args=(cfg.dict_path, lineage_name, chunk_id),
+        batch_format="pyarrow",
+        batch_size=cfg.correct_batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        zero_copy_batch=True,
+    )
+    ds.write_parquet(out_tmp)
+    commit()
+
+
+# --------------------------------------------------------------------------
+# driver entry points
+# --------------------------------------------------------------------------
+
+def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
+    """Run (or resume) the full two-pass pipeline; returns the final Dataset."""
+    files = discover_files(cfg.input_paths)
+    if not files:
+        raise FileNotFoundError(f"no parquet inputs under {cfg.input_paths!r}")
+    chunks = make_chunks(files, cfg.files_per_chunk)
+    os.makedirs(cfg.work_dir, exist_ok=True)
+
+    lineage_name = None
+    lineage_handle = None
+    if cfg.enable_lineage:
+        lineage_name = f"opr_lineage_{uuid.uuid4().hex[:8]}"
+        lineage_handle = mstate.LineageActor.options(name=lineage_name).remote()
+
+    m1 = mstate.Manifest(cfg.manifest_dir, "pass1")
+    m2 = mstate.Manifest(cfg.manifest_dir, "pass2")
+
+    def counters_for(chunk_id: int) -> dict:
+        if lineage_handle is None:
+            return {}
+        snap = ray.get(lineage_handle.snapshot.remote())
+        prefix = f"{chunk_id}/"
+        return {k[len(prefix):]: v for k, v in snap.items() if k.startswith(prefix)}
+
+    dict_needed = not os.path.exists(cfg.dict_path)
+    for chunk_id, chunk_files in enumerate(chunks):
+        fp = mstate.fingerprint_files(chunk_files)
+        if m1.completed(chunk_id, fp):
+            continue
+        t0 = time.time()
+        run_pass1_chunk(cfg, chunk_id, chunk_files, lineage_name)
+        m1.record_done(chunk_id, fp, chunk_files, counters_for(chunk_id), time.time() - t0)
+        dict_needed = True  # counts changed → rebuild dictionary
+
+    if dict_needed:
+        build_dictionary(cfg)
+
+    for chunk_id, chunk_files in enumerate(chunks):
+        fp = mstate.fingerprint_files(chunk_files)
+        if m2.completed(chunk_id, fp):
+            continue
+        t0 = time.time()
+        run_pass2_chunk(cfg, chunk_id, lineage_name)
+        m2.record_done(chunk_id, fp, chunk_files, counters_for(chunk_id), time.time() - t0)
+
+    if lineage_handle is not None:
+        ray.kill(lineage_handle)
+
+    out_files = sorted(globmod.glob(f"{cfg.out_dir}/chunk-*/*.parquet"))
+    return ray.data.read_parquet(out_files)

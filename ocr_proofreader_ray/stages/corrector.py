@@ -1,0 +1,67 @@
+"""The stateful correction stage (SURVEY.md §2 A6–A9 fused).
+
+A callable CLASS → Ray actor pool: ``__init__`` runs once per actor and loads
+the Pass-1 dictionary Parquet itself (no driver-side broadcast of a large
+object; every worker node reads the small file from shared storage), builds
+one ``SpellCorrector`` per language, and reuses its candidate cache across
+every batch the actor ever sees.  ``__call__`` is the per-batch hot path.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ocr_proofreader_ray.functions.dictionary import load_dicts
+from ocr_proofreader_ray.functions.line_join import join_lines
+from ocr_proofreader_ray.functions.spell import SpellCorrector
+
+EXTRACTED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("lang", pa.string()),
+        ("extracted_text", pa.string()),
+        ("n_lines", pa.int32()),
+        ("n_tokens", pa.int32()),
+    ]
+)
+
+
+class Corrector:
+    """Actor-pool stage: (url, lang, raw_text) -> final extracted rows.
+
+    Pure per-row function of (raw_text, frozen dictionary) → output is
+    byte-identical regardless of batch boundaries, actor count, or cluster
+    size (BASELINE.json north_rule).
+    """
+
+    def __init__(self, dict_path: str):
+        self._dicts = load_dicts(dict_path)
+        self._correctors = {
+            lang: SpellCorrector(freqs) for lang, freqs in self._dicts.items()
+        }
+        self._empty = SpellCorrector({})
+
+    def correct_one(self, lang: str, raw_text: str) -> tuple[str, int, int]:
+        corrector = self._correctors.get(lang, self._empty)
+        paragraphs = join_lines(raw_text or "", corrector.freqs)
+        return corrector.transform_text(paragraphs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        texts = batch.column("raw_text").to_pylist()
+        outs, n_lines, n_tokens = [], [], []
+        for lang, text in zip(langs, texts):
+            final, nl, nt = self.correct_one(lang, text)
+            outs.append(final)
+            n_lines.append(nl)
+            n_tokens.append(nt)
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "lang": batch.column("lang"),
+                "extracted_text": pa.array(outs, pa.string()),
+                "n_lines": pa.array(n_lines, pa.int32()),
+                "n_tokens": pa.array(n_tokens, pa.int32()),
+            },
+            schema=EXTRACTED_SCHEMA,
+        )

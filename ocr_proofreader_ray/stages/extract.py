@@ -1,0 +1,93 @@
+"""Stateless extraction + tokenize-count stages (SURVEY.md §2 A3/A4).
+
+Both are plain functions → Ray schedules them as elastic tasks.  Batches are
+zero-copy Arrow; ``batch_size=None`` is used by the pipeline so batch memory
+is bounded by Ray's byte-based block splitting, which is what makes
+heavy-tailed page sizes safe without a shuffle (a whale page lands in a
+small-row-count block automatically).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+
+from ocr_proofreader_ray.functions.html_extract import extract_main_text
+from ocr_proofreader_ray.functions.tokenize import count_tokens
+
+RAW_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("lang", pa.string()),
+        ("raw_text", pa.string()),
+        ("html_bytes", pa.int64()),
+        ("n_chars", pa.int64()),
+    ]
+)
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """(url, html, lang) -> (url, lang, raw_text, html_bytes, n_chars).
+
+    The wide ``html`` binary column is dropped here — nothing downstream
+    (shuffles included) ever moves raw HTML again.
+    """
+    htmls = batch.column("html")
+    texts = [extract_main_text(h.as_py() or b"") for h in htmls]
+    sizes = [len(h.as_py() or b"") for h in htmls]
+    return pa.table(
+        {
+            "url": batch.column("url"),
+            "lang": batch.column("lang"),
+            "raw_text": pa.array(texts, pa.string()),
+            "html_bytes": pa.array(sizes, pa.int64()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        },
+        schema=RAW_SCHEMA,
+    )
+
+
+COUNTS_SCHEMA = pa.schema(
+    [("lang", pa.string()), ("token", pa.string()), ("count", pa.int64())]
+)
+
+
+def tokenize_count_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partial token counts: (lang, raw_text) -> (lang, token, count).
+
+    This is the combiner half of the dictionary build: the subsequent
+    ``groupby(["lang","token"])`` shuffles only these compact partials, never
+    document text (SURVEY.md §4 "shuffle" row / FP-Hadoop-style partials).
+    """
+    per_lang: dict[str, Counter] = {}
+    langs = batch.column("lang").to_pylist()
+    texts = batch.column("raw_text").to_pylist()
+    for lang, text in zip(langs, texts):
+        per_lang.setdefault(lang, Counter()).update(count_tokens(text or ""))
+    out_lang, out_tok, out_cnt = [], [], []
+    for lang in sorted(per_lang):
+        counter = per_lang[lang]
+        for tok in sorted(counter):
+            out_lang.append(lang)
+            out_tok.append(tok)
+            out_cnt.append(counter[tok])
+    return pa.table(
+        {"lang": out_lang, "token": out_tok, "count": out_cnt},
+        schema=COUNTS_SCHEMA,
+    )
+
+
+def add_size_bucket(batch: pa.Table) -> pa.Table:
+    """Tag rows with a coarse log2 size bucket of the extracted text
+    (SURVEY.md §2 A2) — used to order/partition work so the corrector pool
+    sees size-homogeneous batches."""
+    import pyarrow.compute as pc
+
+    n = batch.column("n_chars")
+    # bucket = floor(log2(1 + n_chars/1024)); cheap, vectorized
+    bucket = pc.cast(
+        pc.floor(pc.logb(pc.add(pc.divide(pc.cast(n, pa.float64()), 1024.0), 1.0), 2)),
+        pa.int32(),
+    )
+    return batch.append_column("size_bucket", bucket)

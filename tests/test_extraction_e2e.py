@@ -1,0 +1,103 @@
+"""End-to-end golden test of the two-pass Ray pipeline (SURVEY.md §5.2/5.3):
+
+* byte-identical ``extracted_text`` per url against the constructed golden;
+* Pass-1 dictionary equals the generator's simulated dictionary;
+* checkpoint-resume skips completed chunks and reproduces identical output.
+"""
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from fixtures.gen_pages import generate_pages
+from ocr_proofreader_ray.config import ExtractionConfig
+from ocr_proofreader_ray.pipelines.extraction import run_extraction
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pages_e2e"))
+    generate_pages(out, n_docs=200, seed=13, whale_every=100, n_files=4)
+    return out
+
+
+def _golden_map(pages_dir):
+    return {
+        r["url"]: r
+        for r in pq.read_table(f"{pages_dir}/golden_extracted.parquet").to_pylist()
+    }
+
+
+def _run(pages_dir, work_dir, **kw) -> dict:
+    cfg = ExtractionConfig(
+        input_paths=[p for p in glob.glob(f"{pages_dir}/pages-*.parquet")],
+        work_dir=work_dir,
+        files_per_chunk=2,
+        **kw,
+    )
+    ds = run_extraction(cfg)
+    rows = ds.take_all()
+    return {r["url"]: r for r in rows}
+
+
+def test_byte_identical_output(ray_session, pages_dir, tmp_path):
+    got = _run(pages_dir, str(tmp_path / "work"))
+    golden = _golden_map(pages_dir)
+    assert set(got) == set(golden)
+    for url, g in golden.items():
+        r = got[url]
+        assert r["extracted_text"] == g["extracted_text"], url
+        assert r["n_lines"] == g["n_lines"], url
+        assert r["n_tokens"] == g["n_tokens"], url
+        assert r["lang"] == g["lang"]
+
+
+def test_dictionary_matches_golden(ray_session, pages_dir, tmp_path):
+    work = str(tmp_path / "work")
+    _run(pages_dir, work)
+    built = pq.read_table(f"{work}/lang_dict.parquet")
+    golden = pq.read_table(f"{pages_dir}/lang_dict_golden.parquet")
+    assert built.sort_by([("lang", "ascending"), ("token", "ascending")]).equals(
+        golden.sort_by([("lang", "ascending"), ("token", "ascending")])
+    )
+
+
+def test_resume_skips_completed_chunks(ray_session, pages_dir, tmp_path):
+    work = str(tmp_path / "work")
+    first = _run(pages_dir, work)
+
+    # wreck one pass-2 chunk and its manifest → only that chunk re-runs
+    victim = sorted(glob.glob(f"{work}/extracted/chunk-*"))[0]
+    chunk_name = os.path.basename(victim)
+    shutil.rmtree(victim)
+    os.remove(f"{work}/manifest/pass2/{chunk_name}.json")
+    kept = sorted(glob.glob(f"{work}/extracted/chunk-*/*.parquet"))
+    kept_mtimes = {p: os.path.getmtime(p) for p in kept}
+
+    second = _run(pages_dir, work)
+    assert {u: r["extracted_text"] for u, r in second.items()} == {
+        u: r["extracted_text"] for u, r in first.items()
+    }
+    for p, mt in kept_mtimes.items():  # untouched chunks were not recomputed
+        assert os.path.getmtime(p) == mt, p
+
+
+def test_lineage_counters_recorded(ray_session, pages_dir, tmp_path):
+    work = str(tmp_path / "work")
+    _run(pages_dir, work)
+    recs = sorted(glob.glob(f"{work}/manifest/pass1/chunk-*.json"))
+    assert recs
+    total_rows = 0
+    for p in recs:
+        with open(p) as f:
+            rec = json.load(f)
+        assert rec["status"] == "done"
+        c = rec["counters"].get("extract")
+        assert c and c["rows_in"] == c["rows_out"] > 0
+        assert c["bytes_in"] > c["bytes_out"] > 0  # html >> text
+        total_rows += c["rows_out"]
+    assert total_rows == 200
