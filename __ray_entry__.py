@@ -1,44 +1,77 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship two-pass extraction pipeline: synthesizes a
+Common-Crawl-style ``pages`` table (url, warc_ts, html, text, lang) from the
+sf0.001 ``documents`` texts (deterministic, no external data — FIXTURES.md
+§1), then runs read → extract_main_text (stateless Arrow tasks) →
+dictionary groupby (pass 1) → Corrector actor pool (pass 2) and returns the
+extracted Dataset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` / ``oracle_sql()`` — the full registered operator surface
+(SURVEY.md §2.B + dedup/similarity/text-analysis), DuckDB-checked where
+SQL-expressible.
+
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_SF_DIR = "/root/testdata/sf0.001"
+_ENTRY_WORK = "/tmp/opr_entry"
+
+
+def _ensure_pages(sf_dir: str, out_dir: str) -> str:
+    """Deterministically synthesize the pages table from documents.text."""
+    done = os.path.join(out_dir, ".done")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        from fixtures.gen_pages import generate_pages
+
+        docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["lang", "text"])
+        clean = list(zip(docs.column("lang").to_pylist(),
+                         docs.column("text").to_pylist()))
+        generate_pages(out_dir, n_docs=len(clean), seed=7, clean_texts=clean,
+                       min_count=8, strict=False, n_files=4)
+        with open(done, "w") as f:
+            f.write("ok")
+    return out_dir
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on pages synthesized from /root/testdata/sf0.001."""
+    import shutil
+
+    from ocr_proofreader_ray.config import ExtractionConfig
+    from ocr_proofreader_ray.pipelines.extraction import run_extraction
+
+    pages_dir = _ensure_pages(_SF_DIR, f"{_ENTRY_WORK}/pages")
+    work_dir = f"{_ENTRY_WORK}/work"
+    shutil.rmtree(work_dir, ignore_errors=True)  # fresh run each smoke check
+    cfg = ExtractionConfig(
+        input_paths=f"{pages_dir}/pages-*.parquet",
+        work_dir=work_dir,
+        files_per_chunk=0,  # single chunk at smoke scale
+    )
+    return run_extraction(cfg)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from ocr_proofreader_ray.pipelines.registry import all_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query (same column
+    names; exact-integer arithmetic so value hashes match bit-for-bit)."""
+    from ocr_proofreader_ray.pipelines.registry import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,550 @@
+"""Generic relational operator surface (SURVEY.md §2.B), DuckDB-oracle-checked.
+
+Every query reads Parquet with pruned columns, stays vectorized
+(pyarrow.compute inside ``map_batches``), and keeps shuffles to the minimum
+the semantics require: grouped aggregates shuffle compact rows or group keys;
+dimension joins broadcast; only genuine fact-fact joins hash-partition.
+
+**Float determinism contract**: the driver hash-compares values, and a sum of
+doubles is order-dependent in its last ulps — a distributed aggregate and a
+single-threaded SQL engine WILL disagree.  Every monetary/float aggregate is
+therefore expressed in integer units: per-row ``floor(x * scale + 0.5)`` is
+bit-identical in both engines (same IEEE expression over the same operand),
+and integer sums are exact in any order.  Averages divide two exact integers
+with an identical division sequence in both engines.  Column names match the
+oracle SQL exactly (the driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ocr_proofreader_ray.ops.join import (
+    broadcast_join,
+    broadcast_semi_anti,
+    shuffle_join,
+)
+from ocr_proofreader_ray.pipelines.registry import register
+
+
+def t(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Pruned Parquet scan of one testdata table (B1)."""
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def imod(col, m: int):
+    """Integer modulo for non-negative keys (pyarrow has no mod kernel)."""
+    return pc.subtract(col, pc.multiply(pc.divide(col, m), m))
+
+
+def to_units(col, scale: float):
+    """floor(x*scale + 0.5) as int64 — the exact-integer money trick."""
+    return pc.cast(
+        pc.floor(pc.add(pc.multiply(col, pa.scalar(float(scale))), pa.scalar(0.5))),
+        pa.int64(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B5 — grouped aggregate (TPC-H Q1 style)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                            AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                                                      AS sum_base_price_cents,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                         AS BIGINT)) AS BIGINT)       AS sum_disc_price_ucents,
+           sum(l_quantity) / count(*)                 AS avg_qty,
+           count(*)                                   AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(sf_dir: str):
+    ds = t(sf_dir, "lineitem",
+           ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(
+            b.column("l_shipdate"),
+            pa.scalar(datetime(2000, 9, 1), pa.timestamp("us")),
+        ))
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "l_quantity": b.column("l_quantity"),
+            "base_cents": to_units(b.column("l_extendedprice"), 100),
+            "disc_ucents": to_units(
+                pc.multiply(b.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0), b.column("l_discount"))),
+                10000),
+        })
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("base_cents", alias_name="sum_base_price_cents"),
+        Sum("disc_ucents", alias_name="sum_disc_price_ucents"),
+        Count(alias_name="count_order"),
+    )
+
+    def post(b: pa.Table) -> pa.Table:
+        avg_qty = pc.divide(b.column("sum_qty"),
+                            pc.cast(b.column("count_order"), pa.float64()))
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "sum_qty": b.column("sum_qty"),
+            "sum_base_price_cents": b.column("sum_base_price_cents"),
+            "sum_disc_price_ucents": b.column("sum_disc_price_ucents"),
+            "avg_qty": avg_qty,
+            "count_order": b.column("count_order"),
+        })
+
+    return agg.map_batches(post, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# B2/B3/B4 — projection + scalar functions, filter, global aggregate (Q6 style)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q6_forecast_revenue",
+    sql="""
+    SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_ucents,
+           count(*)                             AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(sf_dir: str):
+    ds = t(sf_dir, "lineitem",
+           ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(b.column("l_shipdate"),
+                                 pa.scalar(datetime(1996, 1, 1), pa.timestamp("us"))),
+                pc.less(b.column("l_shipdate"),
+                        pa.scalar(datetime(1997, 1, 1), pa.timestamp("us"))),
+            ),
+            pc.and_(
+                pc.and_(pc.greater_equal(b.column("l_discount"), pa.scalar(0.03)),
+                        pc.less_equal(b.column("l_discount"), pa.scalar(0.07))),
+                pc.less(b.column("l_quantity"), pa.scalar(24.0)),
+            ),
+        )
+        b = b.filter(m)
+        rev = pc.multiply(b.column("l_extendedprice"), b.column("l_discount"))
+        return pa.table({"rev_ucents": to_units(rev, 10000)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = ds.aggregate(Sum("rev_ucents", alias_name="revenue_ucents"),
+                       Count(alias_name="n_rows"))
+    return pa.table({
+        "revenue_ucents": pa.array([agg["revenue_ucents"]], pa.int64()),
+        "n_rows": pa.array([agg["n_rows"]], pa.int64()),
+    })
+
+
+@register(
+    "q_scalar_fns",
+    sql="""
+    SELECT o_orderkey,
+           year(o_orderdate)              AS yr,
+           month(o_orderdate)             AS mon,
+           o_totalprice * 2               AS double_price,
+           lower(o_orderpriority)         AS prio_lower,
+           substr(o_orderstatus, 1, 1)    AS status_c
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+)
+def q_scalar_fns(sf_dir: str):
+    ds = t(sf_dir, "orders",
+           ["o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority",
+            "o_orderstatus"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(imod(b.column("o_orderkey"), 10), 0))
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "yr": pc.year(b.column("o_orderdate")),
+            "mon": pc.month(b.column("o_orderdate")),
+            "double_price": pc.multiply(b.column("o_totalprice"), pa.scalar(2.0)),
+            "prio_lower": pc.utf8_lower(b.column("o_orderpriority")),
+            "status_c": pc.utf8_slice_codeunits(b.column("o_orderstatus"), 0, 1),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register(
+    "q_global_stats",
+    sql="""
+    SELECT min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+           (CAST(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS DOUBLE) / 100) / count(*) AS avg_price,
+           count(*) AS n
+    FROM orders
+    """,
+)
+def q_global_stats(sf_dir: str):
+    ds = t(sf_dir, "orders", ["o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_totalprice": b.column("o_totalprice"),
+            "cents": to_units(b.column("o_totalprice"), 100),
+        })
+
+    agg = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"),
+        Sum("cents", alias_name="sum_cents"),
+        Count(alias_name="n"),
+    )
+    # ds.aggregate returns a plain dict row
+    avg = (float(agg["sum_cents"]) / 100) / agg["n"]
+    return pa.table({
+        "min_price": pa.array([agg["min_price"]], pa.float64()),
+        "max_price": pa.array([agg["max_price"]], pa.float64()),
+        "avg_price": pa.array([avg], pa.float64()),
+        "n": pa.array([agg["n"]], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# B6 — distinct / count-distinct
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_distinct_segments",
+    sql="SELECT DISTINCT c_mktsegment FROM customer",
+)
+def q_distinct_segments(sf_dir: str):
+    ds = t(sf_dir, "customer", ["c_mktsegment"])
+    return ds.groupby("c_mktsegment").count().select_columns(["c_mktsegment"])
+
+
+@register(
+    "q_count_distinct_users",
+    sql="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_count_distinct_users(sf_dir: str):
+    ds = t(sf_dir, "events", ["event_type", "user_id"])
+    # exact distinct: dedupe on (event_type, user_id) first (shuffles only
+    # the distinct pairs), then count per event_type
+    pairs = ds.groupby(["event_type", "user_id"]).count()
+    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+# ---------------------------------------------------------------------------
+# B7 — joins: broadcast dimension chain and fact-fact shuffle join
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_nation_revenue",
+    sql="""
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_nation_revenue(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    orders = t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    # dimension side materialized once on the driver, broadcast via ray.put:
+    # customer ⋈ nation collapses to a small custkey -> nation map
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    cust_nation = cust.join(nation, keys=["c_nationkey"],
+                            right_keys=["n_nationkey"]).select(
+        ["c_custkey", "n_name"]).rename_columns(["c_custkey", "nation"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "cents": to_units(b.column("o_totalprice"), 100),
+        })
+
+    orders = orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined = broadcast_join(orders, cust_nation, on="o_custkey",
+                            right_on="c_custkey")
+    return joined.groupby("nation").aggregate(
+        Sum("cents", alias_name="revenue_cents"),
+        Count(alias_name="n_orders"),
+    )
+
+
+@register(
+    "q_order_priority_revenue",
+    sql="""
+    SELECT o.o_orderpriority,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_ucents,
+           count(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_order_priority_revenue(sf_dir: str):
+    """Fact-fact shuffle hash join (B7 large-large path, Ray Dataset.join)."""
+    li = t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "rev_ucents": to_units(r, 10000)})
+
+    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    orders = t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = shuffle_join(li, orders, on=("l_orderkey",),
+                          right_on=("o_orderkey",), num_partitions=16)
+    return joined.groupby("o_orderpriority").aggregate(
+        Sum("rev_ucents", alias_name="revenue_ucents"),
+        Count(alias_name="n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B8 — semi / anti join
+# ---------------------------------------------------------------------------
+
+def _order_custkeys(sf_dir: str) -> pa.ChunkedArray:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey"]).column("o_custkey")
+
+
+@register(
+    "q_customers_with_orders",
+    sql="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_customers_with_orders(sf_dir: str):
+    ds = t(sf_dir, "customer", ["c_custkey", "c_name"])
+    return broadcast_semi_anti(ds, _order_custkeys(sf_dir), on="c_custkey")
+
+
+@register(
+    "q_customers_without_orders",
+    sql="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate < TIMESTAMP '1996-01-01')
+    """,
+)
+def q_customers_without_orders(sf_dir: str):
+    """Anti join: customers with no orders before 1996 (the date filter keeps
+    the result non-empty at every sf — every customer has *some* order)."""
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_orderdate"])
+    orders = orders.filter(pc.less(
+        orders.column("o_orderdate"),
+        pa.scalar(datetime(1996, 1, 1), pa.timestamp("us"))))
+    ds = t(sf_dir, "customer", ["c_custkey", "c_name"])
+    return broadcast_semi_anti(ds, orders.column("o_custkey"), on="c_custkey",
+                               anti=True)
+
+
+# ---------------------------------------------------------------------------
+# B9 — sort / top-k / limit
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_top_customers",
+    sql="""
+    SELECT o_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    ORDER BY revenue_cents DESC, o_custkey ASC LIMIT 10
+    """,
+)
+def q_top_customers(sf_dir: str):
+    ds = t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "cents": to_units(b.column("o_totalprice"), 100),
+        })
+
+    agg = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+            .groupby("o_custkey").aggregate(
+        Sum("cents", alias_name="revenue_cents"),
+        Count(alias_name="n_orders"),
+    )
+    # deterministic total order: integer revenue desc, key asc
+    return agg.sort(["revenue_cents", "o_custkey"],
+                    descending=[True, False]).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# B11 — set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_union_segments",
+    sql="""
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def q_union_segments(sf_dir: str):
+    def seg_filter(value):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("c_mktsegment"), value))
+        return fn
+
+    a = t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        seg_filter("BUILDING"), batch_format="pyarrow", zero_copy_batch=True)
+    b = t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        seg_filter("MACHINERY"), batch_format="pyarrow", zero_copy_batch=True)
+    return a.union(b)
+
+
+@register(
+    "q_except_custkeys",
+    sql="""
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q_except_custkeys(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    ds = t(sf_dir, "orders", ["o_custkey"])
+    distinct = ds.groupby("o_custkey").count().select_columns(["o_custkey"])
+    building = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+    building = building.filter(
+        pc.equal(building.column("c_mktsegment"), "BUILDING")
+    ).column("c_custkey")
+    out = broadcast_semi_anti(distinct, building, on="o_custkey", anti=True)
+    return out.map_batches(
+        lambda b: b.rename_columns(["custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# B13 — JSON scalar functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_json_props",
+    sql="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_props(sf_dir: str):
+    import json
+
+    ds = t(sf_dir, "events", ["event_type", "props"])
+
+    def parse(b: pa.Table) -> pa.Table:
+        ks = [json.loads(p).get("k") for p in b.column("props").to_pylist()]
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    ds = ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("event_type").aggregate(
+        Sum("k", alias_name="sum_k"), Count(alias_name="n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B14 — batch time-window aggregation (tumbling day windows)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_events_daily",
+    sql="""
+    SELECT event_type, date_trunc('day', ts) AS day,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_milli
+    FROM events GROUP BY event_type, day
+    """,
+)
+def q_events_daily(sf_dir: str):
+    ds = t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def trunc(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "day": day,
+            "value_milli": to_units(b.column("value"), 1000),
+        })
+
+    ds = ds.map_batches(trunc, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby(["event_type", "day"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value_milli", alias_name="sum_value_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B10 — deterministic systematic sample (seeded random_sample is covered in
+# tests; the oracle-checked variant uses a modulo filter so SQL can agree)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_systematic_sample",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_orderkey % 97 = 0
+    """,
+)
+def q_systematic_sample(sf_dir: str):
+    ds = t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    return ds.map_batches(
+        lambda b: b.filter(pc.equal(imod(b.column("l_orderkey"), 97), 0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

@@ -1,0 +1,157 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+* ``q_ann_topk`` — brute-force cosine top-k: numpy per batch against a
+  broadcast query vector; the baseline ANN path.  Exactness contract with
+  the DuckDB oracle: DuckDB's ``list_dot_product`` over FLOAT[] multiplies
+  and accumulates *sequentially in float32* (verified empirically), so the
+  numpy side simulates exactly that — float32 products, a 64-step
+  float32 accumulation vectorized across rows — and the score is floored to
+  integer micros so equal inputs give equal integers (ties break on vec_id).
+* ``q_ann_lsh`` — the scale path: 16-bit random-hyperplane LSH bucketing
+  (deterministic seeded planes), probing the query bucket plus all
+  Hamming-1 neighbors, then exact cosine within the probed buckets only.
+  No SQL oracle (rows-only driver check); recall vs brute force is asserted
+  in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ocr_proofreader_ray.pipelines.registry import register
+from ocr_proofreader_ray.pipelines.relational import t
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    idx = tab.column("vec_id").to_pylist().index(0)
+    return np.asarray(tab.column("embedding").to_pylist()[idx], dtype=np.float32)
+
+
+def _batch_matrix(b: pa.Table) -> np.ndarray:
+    col = b.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    dim = offsets[1] - offsets[0]
+    return flat.reshape(len(b), int(dim))
+
+
+def _f32_seq_dot(mat: np.ndarray, q_or_mat: np.ndarray) -> np.ndarray:
+    """Per-row dot product with float32 products and a *sequential* float32
+    accumulation (one vectorized step per dimension) — bit-identical to
+    DuckDB's list_dot_product over FLOAT[]."""
+    prod = (mat * q_or_mat).astype(np.float32)
+    acc = np.zeros(prod.shape[0], dtype=np.float32)
+    for j in range(prod.shape[1]):
+        acc = (acc + prod[:, j]).astype(np.float32)
+    return acc
+
+
+def cosine_micro(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """floor(cos*1e6 + 0.5) with the exact DuckDB arithmetic sequence:
+    float32 dots → float64 sqrt/divide."""
+    dots = _f32_seq_dot(mat, q[None, :]).astype(np.float64)
+    norms = np.sqrt(_f32_seq_dot(mat, mat).astype(np.float64))
+    qnorm = np.sqrt(np.float64(_f32_seq_dot(q[None, :], q[None, :])[0]))
+    denom = norms * qnorm
+    denom[denom == 0] = 1.0
+    cos = dots / denom
+    return np.floor(cos * 1_000_000 + 0.5).astype(np.int64)
+
+
+@register(
+    "q_ann_topk",
+    sql="""
+    WITH q AS (
+        SELECT embedding AS qe,
+               sqrt(list_dot_product(embedding, embedding)) AS qnorm
+        FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           CAST(floor(
+               list_dot_product(e.embedding, q.qe)
+               / (sqrt(list_dot_product(e.embedding, e.embedding)) * q.qnorm)
+               * 1000000 + 0.5) AS BIGINT) AS cos_micro
+    FROM embeddings e CROSS JOIN q
+    ORDER BY cos_micro DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ann_topk(sf_dir: str):
+    emb = t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qref = ray.put(_query_vector(sf_dir))
+
+    def score(b: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        mat = _batch_matrix(b)
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "cos_micro": pa.array(cosine_micro(mat, q), pa.int64()),
+        })
+
+    scored = emb.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.sort(["cos_micro", "vec_id"], descending=[True, False]).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 16
+
+
+def _planes(dim: int) -> np.ndarray:
+    rng = np.random.RandomState(0xA11C)
+    return rng.standard_normal((_N_PLANES, dim))
+
+
+def _bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (vecs @ planes.T) > 0
+    return (bits * (1 << np.arange(_N_PLANES))).sum(axis=1).astype(np.int64)
+
+
+@register("q_ann_lsh")  # sketch-based: rows-only driver check
+def q_ann_lsh(sf_dir: str, k: int = 10):
+    """Probe the query's LSH bucket + Hamming-1 neighbors, exact cosine
+    inside.  The bucket column is the partitioning key at scale (groupby
+    bucket → per-bucket index actors)."""
+    q = _query_vector(sf_dir)
+    planes = _planes(len(q))
+    q_bucket = int(_bucket_of(q[None, :], planes)[0])
+    probe = {q_bucket} | {q_bucket ^ (1 << i) for i in range(_N_PLANES)}
+    probe_arr = pa.array(sorted(probe), pa.int64())
+
+    emb = t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qref = ray.put(q)
+    planes_ref = ray.put(planes)
+
+    def score_probed(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qv = ray.get(qref)
+        pl = ray.get(planes_ref)
+        mat = _batch_matrix(b)
+        buckets = _bucket_of(mat, pl)
+        mask = pc.is_in(pa.array(buckets, pa.int64()), value_set=probe_arr)
+        sel = mask.to_numpy(zero_copy_only=False)
+        if not sel.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos_micro": pa.array([], pa.int64())})
+        sub = mat[sel]
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)[sel]
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cos_micro": pa.array(cosine_micro(sub, qv), pa.int64()),
+        })
+
+    scored = emb.map_batches(score_probed, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return scored.sort(["cos_micro", "vec_id"], descending=[True, False]).limit(k)

@@ -1,0 +1,227 @@
+"""Text-analysis operators over the ``documents`` table (driver brief:
+language-ID, quality scoring, token counting, document fingerprinting).
+
+Everything aggregates exact integers (token/char counts, md5 digests) so the
+DuckDB oracles match bit-for-bit; ratios divide two exact integers with the
+same division expression on both engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ocr_proofreader_ray.functions.sketches import stable_hash64
+from ocr_proofreader_ray.pipelines.registry import register
+from ocr_proofreader_ray.pipelines.relational import t
+
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace tokens; single-space word-soup in testdata)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_token_stats",
+    sql="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+                AS BIGINT) AS sum_tokens,
+           CAST(sum(length(replace(text, ' ', ''))) AS BIGINT) AS sum_word_chars,
+           CAST(sum(length(replace(text, ' ', ''))) AS DOUBLE)
+               / CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+                      AS BIGINT) AS avg_word_len
+    FROM documents GROUP BY lang
+    """,
+)
+def q_token_stats(sf_dir: str):
+    ds = t(sf_dir, "documents", ["lang", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        spaces = pc.count_substring(text, " ")
+        chars = pc.utf8_length(text)
+        return pa.table({
+            "lang": b.column("lang"),
+            "tokens": pc.cast(pc.add(spaces, 1), pa.int64()),
+            "word_chars": pc.cast(pc.subtract(chars, spaces), pa.int64()),
+        })
+
+    agg = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+            .groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("tokens", alias_name="sum_tokens"),
+        Sum("word_chars", alias_name="sum_word_chars"),
+    )
+
+    def post(b: pa.Table) -> pa.Table:
+        avg = pc.divide(pc.cast(b.column("sum_word_chars"), pa.float64()),
+                        b.column("sum_tokens"))
+        return pa.table({
+            "lang": b.column("lang"),
+            "n_docs": b.column("n_docs"),
+            "sum_tokens": b.column("sum_tokens"),
+            "sum_word_chars": b.column("sum_word_chars"),
+            "avg_word_len": avg,
+        })
+
+    return agg.map_batches(post, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# quality scoring: lexical-diversity ratio from exact integer counts
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_quality_score",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), per_doc AS (
+        SELECT doc_id, any_value(lang) AS lang,
+               count(*) AS n_tokens,
+               count(DISTINCT tok) AS n_distinct
+        FROM toks GROUP BY doc_id
+    )
+    SELECT lang,
+           CAST(sum(n_tokens) AS BIGINT)   AS sum_tokens,
+           CAST(sum(n_distinct) AS BIGINT) AS sum_distinct,
+           CAST(sum(n_distinct) AS DOUBLE) / CAST(sum(n_tokens) AS BIGINT)
+               AS diversity
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_quality_score(sf_dir: str):
+    """Type-token (lexical diversity) quality signal per language."""
+    ds = t(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        n_tokens, n_distinct = [], []
+        for text in b.column("text").to_pylist():
+            toks = (text or "").split(" ")
+            n_tokens.append(len(toks))
+            n_distinct.append(len(set(toks)))
+        return pa.table({
+            "lang": b.column("lang"),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+        })
+
+    agg = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+            .groupby("lang").aggregate(
+        Sum("n_tokens", alias_name="sum_tokens"),
+        Sum("n_distinct", alias_name="sum_distinct"),
+    )
+
+    def post(b: pa.Table) -> pa.Table:
+        div = pc.divide(pc.cast(b.column("sum_distinct"), pa.float64()),
+                        b.column("sum_tokens"))
+        return pa.table({
+            "lang": b.column("lang"),
+            "sum_tokens": b.column("sum_tokens"),
+            "sum_distinct": b.column("sum_distinct"),
+            "diversity": div,
+        })
+
+    return agg.map_batches(post, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_fingerprint_md5",
+    sql="SELECT doc_id, md5(text) AS fp FROM documents",
+)
+def q_fingerprint_md5(sf_dir: str):
+    ds = t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((x or "").encode()).hexdigest()
+              for x in b.column("text").to_pylist()]
+        return pa.table({"doc_id": b.column("doc_id"), "fp": pa.array(hs)})
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("q_fingerprint_winnow")  # rolling-hash winnowing: no SQL analogue
+def q_fingerprint_winnow(sf_dir: str, k: int = 5, window: int = 4):
+    """Winnowing fingerprints (Schleimer et al.): k-gram rolling hashes,
+    per-window minimum → the document's fingerprint set; emitted as the set
+    size plus min/max fingerprint for compact comparison."""
+    ds = t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        n_fps, fp_min, fp_max = [], [], []
+        for text in b.column("text").to_pylist():
+            toks = (text or "").split()
+            grams = [stable_hash64(" ".join(toks[i:i + k]))
+                     for i in range(max(0, len(toks) - k + 1))]
+            if not grams:
+                n_fps.append(0)
+                fp_min.append(0)
+                fp_max.append(0)
+                continue
+            sel = {min(grams[i:i + window])
+                   for i in range(max(1, len(grams) - window + 1))}
+            n_fps.append(len(sel))
+            fp_min.append(min(sel) - (1 << 63))
+            fp_max.append(max(sel) - (1 << 63))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_fingerprints": pa.array(n_fps, pa.int64()),
+            "fp_min": pa.array(fp_min, pa.int64()),
+            "fp_max": pa.array(fp_max, pa.int64()),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram/stopword heuristic; no SQL analogue)
+# ---------------------------------------------------------------------------
+
+# marker tokens per language — tiny embedded stopword lists (public knowledge)
+_LANG_MARKERS: dict[str, frozenset] = {
+    "en": frozenset("the and of to in is was for with that".split()),
+    "de": frozenset("der die das und ist nicht mit von für auch".split()),
+    "es": frozenset("el la los las que de en un una por".split()),
+    "fr": frozenset("le la les de un une et pour dans que".split()),
+    "zh": frozenset("shi de yi bu le ren zai you ta zhe".split()),
+}
+
+
+def predict_lang(text: str) -> str:
+    toks = (text or "").lower().split()
+    best_lang, best_score = "und", -1
+    for lang in sorted(_LANG_MARKERS):
+        score = sum(t in _LANG_MARKERS[lang] for t in toks)
+        if score > best_score:
+            best_lang, best_score = lang, score
+    return best_lang if best_score > 0 else "und"
+
+
+@register("q_lang_id")
+def q_lang_id(sf_dir: str):
+    """Confusion counts of heuristic language-ID vs the labeled lang column.
+
+    The testdata word-soup is English-ish tech vocabulary for every label, so
+    this measures the *mechanism* (deterministic scoring, stable tie-breaks),
+    not real-world accuracy; the extraction fixtures exercise accuracy."""
+    ds = t(sf_dir, "documents", ["lang", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        preds = [predict_lang(x) for x in b.column("text").to_pylist()]
+        return pa.table({
+            "lang": b.column("lang"),
+            "predicted": pa.array(preds, pa.string()),
+        })
+
+    ds = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby(["lang", "predicted"]).aggregate(Count(alias_name="n"))
