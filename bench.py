@@ -1,0 +1,169 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: the flagship two-pass extraction pipeline over a synthetic
+Common-Crawl-style pages table generated (once, cached) from the
+``$GRAFT_SF_DIR`` documents texts.  Also times a representative slice of the
+relational/dedup/similarity surface at the same sf.
+
+``--scaling``: runs the headline pipeline in two fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` on the same input (the sandbox evidence
+for the N → 4N cluster-scaling criterion; see BASELINE.md) and prints both
+throughputs plus the scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = "/tmp/opr_bench"
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q_nation_revenue",
+    "q_order_priority_revenue",
+    "q_top_customers",
+    "q_count_distinct_users",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_ann_topk",
+    "q_token_stats",
+    "q_events_daily",
+]
+
+
+def ensure_pages(sf_dir: str) -> str:
+    """Generate (once) the pages table for this sf from documents.text."""
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    out_dir = f"{BENCH_ROOT}/pages_{tag}"
+    done = f"{out_dir}/.done"
+    if os.path.exists(done):
+        return out_dir
+    import pyarrow.parquet as pq
+
+    from fixtures.gen_pages import generate_pages
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    clean = list(zip(docs.column("lang").to_pylist(),
+                     docs.column("text").to_pylist()))
+    generate_pages(out_dir, n_docs=len(clean), seed=7, clean_texts=clean,
+                   min_count=8, strict=False, n_files=32)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def consume(result) -> int:
+    """Force execution; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    return result.count()
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from ocr_proofreader_ray.config import ExtractionConfig
+    from ocr_proofreader_ray.pipelines.extraction import run_extraction
+    from ocr_proofreader_ray.pipelines.registry import all_queries
+
+    pages_dir = ensure_pages(SF_DIR)
+    pages_glob = f"{pages_dir}/pages-*.parquet"
+    html_bytes = sum(
+        os.path.getsize(os.path.join(pages_dir, f))
+        for f in os.listdir(pages_dir) if f.startswith("pages-")
+    )
+
+    # warm OS page cache so we measure compute + shuffle, not first-read I/O
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    n_docs = 0
+    for f in g.glob(pages_glob):
+        n_docs += pq.read_metadata(f).num_rows
+        with open(f, "rb") as fh:
+            fh.read()
+
+    work_dir = f"{BENCH_ROOT}/work_{NUM_CPUS}"
+    shutil.rmtree(work_dir, ignore_errors=True)
+    cfg = ExtractionConfig(input_paths=pages_glob, work_dir=work_dir,
+                           files_per_chunk=0, enable_lineage=True)
+    t0 = time.time()
+    out = run_extraction(cfg)
+    n_out = out.count()
+    headline = time.time() - t0
+    assert n_out == n_docs, (n_out, n_docs)
+
+    queries = {}
+    qreg = all_queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        consume(qreg[name](SF_DIR))
+        queries[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "extraction_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1),
+        "html_mb_per_sec": round(html_bytes / 1e6 / headline, 2),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    thr_lo = r_lo["docs_per_sec"]
+    thr_hi = r_hi["docs_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "docs_per_sec_8": thr_lo,
+        "docs_per_sec_32": thr_hi,
+        "sf": SF_DIR,
+        "queries": {},
+        "num_cpus": hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

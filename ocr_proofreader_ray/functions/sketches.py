@@ -23,10 +23,13 @@ def stable_hash32(s: str) -> int:
 
 
 def stable_hash64(s: str) -> int:
-    data = s.encode("utf-8")
-    lo = zlib.crc32(data)
-    hi = zlib.crc32(data, 0x9E3779B9)
-    return ((hi << 32) | lo) & 0xFFFFFFFFFFFFFFFF
+    """blake2b-based 64-bit hash: high bit-quality (crc32's two halves are
+    affinely related, which skews SimHash), still deterministic + fast."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+    )
 
 
 def shingles(tokens: list[str], n: int = 3) -> set[int]:
@@ -70,12 +73,16 @@ class MinHasher:
 
 
 def simhash64(token_counts: dict[str, int]) -> int:
-    """Charikar 64-bit SimHash over weighted tokens."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok, w in token_counts.items():
-        h = stable_hash64(tok)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), w, -w)
+    """Charikar 64-bit SimHash over weighted tokens (vectorized)."""
+    if not token_counts:
+        return 0
+    hs = np.fromiter((stable_hash64(t) for t in token_counts),
+                     dtype=np.uint64, count=len(token_counts))
+    ws = np.fromiter(token_counts.values(), dtype=np.int64,
+                     count=len(token_counts))
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(bool)
+    acc = np.where(bits, ws[:, None], -ws[:, None]).sum(axis=0)
     out = 0
     for i in range(64):
         if acc[i] > 0:

@@ -102,46 +102,60 @@ def q_ann_topk(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# LSH-bucketed ANN (scale path)
+# LSH-bucketed ANN (scale path): L tables x k random hyperplanes
 # ---------------------------------------------------------------------------
 
-_N_PLANES = 16
+_N_TABLES = 8
+_N_BITS = 8
 
 
 def _planes(dim: int) -> np.ndarray:
     rng = np.random.RandomState(0xA11C)
-    return rng.standard_normal((_N_PLANES, dim))
+    return rng.standard_normal((_N_TABLES, _N_BITS, dim))
 
 
-def _bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    bits = (vecs @ planes.T) > 0
-    return (bits * (1 << np.arange(_N_PLANES))).sum(axis=1).astype(np.int64)
+def _buckets_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, L) bucket ids: sign pattern of k hyperplanes per table."""
+    # vecs: (n, d); planes: (L, k, d) → bits (n, L, k)
+    proj = np.einsum("nd,lkd->nlk", vecs.astype(np.float64), planes)
+    bits = proj > 0
+    weights = 1 << np.arange(_N_BITS)
+    return (bits * weights[None, None, :]).sum(axis=2).astype(np.int64)
+
+
+def lsh_probe_masks(mat: np.ndarray, planes: np.ndarray,
+                    probe_sets: list[frozenset]) -> np.ndarray:
+    buckets = _buckets_of(mat, planes)  # (n, L)
+    sel = np.zeros(len(mat), dtype=bool)
+    for l, probe in enumerate(probe_sets):
+        sel |= np.isin(buckets[:, l], list(probe))
+    return sel
 
 
 @register("q_ann_lsh")  # sketch-based: rows-only driver check
 def q_ann_lsh(sf_dir: str, k: int = 10):
-    """Probe the query's LSH bucket + Hamming-1 neighbors, exact cosine
-    inside.  The bucket column is the partitioning key at scale (groupby
-    bucket → per-bucket index actors)."""
+    """Multi-table hyperplane LSH: probe the query's bucket + Hamming-1
+    neighbors in each of L tables, exact cosine only inside the probed
+    union.  At scale the (table, bucket) pair is the partitioning key
+    (groupby bucket → per-bucket index actors); here the probe test is a
+    vectorized mask inside one map_batches pass."""
     q = _query_vector(sf_dir)
     planes = _planes(len(q))
-    q_bucket = int(_bucket_of(q[None, :], planes)[0])
-    probe = {q_bucket} | {q_bucket ^ (1 << i) for i in range(_N_PLANES)}
-    probe_arr = pa.array(sorted(probe), pa.int64())
+    q_buckets = _buckets_of(q[None, :].astype(np.float64), planes)[0]  # (L,)
+    probe_sets = [
+        frozenset({int(b)} | {int(b) ^ (1 << i) for i in range(_N_BITS)})
+        for b in q_buckets
+    ]
 
     emb = t(sf_dir, "embeddings", ["vec_id", "embedding"])
     qref = ray.put(q)
     planes_ref = ray.put(planes)
 
     def score_probed(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         qv = ray.get(qref)
         pl = ray.get(planes_ref)
         mat = _batch_matrix(b)
-        buckets = _bucket_of(mat, pl)
-        mask = pc.is_in(pa.array(buckets, pa.int64()), value_set=probe_arr)
-        sel = mask.to_numpy(zero_copy_only=False)
+        sel = lsh_probe_masks(mat, pl, probe_sets)
         if not sel.any():
             return pa.table({"vec_id": pa.array([], pa.int64()),
                              "cos_micro": pa.array([], pa.int64())})

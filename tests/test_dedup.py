@@ -1,0 +1,102 @@
+"""Unit tests for sketching primitives + the MinHash-LSH near-dup pipeline
+on constructed near-duplicates (driver brief: dedup operators)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_proofreader_ray.functions.sketches import (
+    MinHasher,
+    hamming64,
+    shingles,
+    simhash64,
+    stable_hash32,
+    stable_hash64,
+)
+
+
+def test_stable_hashes_are_process_independent():
+    # pinned values: guard against accidental use of salted hash()
+    assert stable_hash32("hello") == 907060870
+    assert stable_hash64("hello") == stable_hash64("hello")
+    assert stable_hash64("hello") != stable_hash64("hellp")
+
+
+def test_shingles_basic():
+    toks = "a b c d".split()
+    assert len(shingles(toks, 3)) == 2
+    assert shingles([], 3) == set()
+    assert len(shingles(["x"], 3)) == 1  # short doc → whole-doc shingle
+
+
+def test_minhash_similarity_tracks_jaccard():
+    mh = MinHasher(num_perm=256)
+    base = [f"tok{i}" for i in range(100)]
+    a = shingles(base, 3)
+    b = shingles(base[:90] + [f"other{i}" for i in range(10)], 3)
+    sa, sb = mh.signature(a), mh.signature(b)
+    est = (sa == sb).mean()
+    true_j = len(a & b) / len(a | b)
+    assert abs(est - true_j) < 0.15
+
+
+def test_minhash_identical_docs_identical_signatures():
+    mh = MinHasher()
+    s = shingles("the quick brown fox jumps".split(), 3)
+    assert np.array_equal(mh.signature(s), mh.signature(set(s)))
+
+
+def test_simhash_near_duplicates_close():
+    from collections import Counter
+
+    doc = Counter(("word%d" % (i % 50) for i in range(200)))
+    near = Counter(doc)
+    near["extra_token"] = 1
+    far = Counter(("other%d" % i for i in range(100)))
+    assert hamming64(simhash64(doc), simhash64(near)) <= 8
+    assert hamming64(simhash64(doc), simhash64(far)) > 10
+
+
+def test_minhash_lsh_pipeline_finds_planted_dups(ray_session):
+    import ray.data
+
+    from ocr_proofreader_ray.pipelines.dedup import minhash_lsh_pairs
+
+    base = " ".join(f"tok{i % 40}x{i % 7}" for i in range(120))
+    near = base.replace("tok3x3", "changed", 1)  # ~1 token differs
+    other = " ".join(f"zzz{i}" for i in range(120))
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": near},
+        {"doc_id": 3, "text": other},
+        {"doc_id": 4, "text": base},  # exact dup of 1
+    ]
+    token_sets = {r["doc_id"]: shingles(r["text"].split(), 3) for r in rows}
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    pairs = minhash_lsh_pairs(ds, shingle_n=3, jaccard_threshold=0.5,
+                              token_sets=token_sets).take_all()
+    found = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    assert (1, 4) in found          # exact dup
+    assert (1, 2) in found          # near dup
+    assert not any(3 in p for p in found)  # unrelated doc clean
+
+
+def test_embedding_neardup_pairs(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ocr_proofreader_ray.pipelines.dedup import q_dedup_embedding
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(16).astype(np.float32)
+    vecs = [base, base + 1e-4 * rng.standard_normal(16).astype(np.float32),
+            rng.standard_normal(16).astype(np.float32)]
+    tab = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0], pa.int32()),
+    })
+    pq.write_table(tab, str(tmp_path / "embeddings.parquet"))
+    pairs = q_dedup_embedding(str(tmp_path)).take_all()
+    keys = {(p["vec_a"], p["vec_b"]) for p in pairs}
+    assert keys == {(0, 1)}
