@@ -80,8 +80,17 @@ def report(name: str | None, chunk_id: int, stage: str, rows_in: int,
     if not name:
         return
     try:
-        get_lineage_actor(name).record.remote(
-            chunk_id, stage, rows_in, rows_out, bytes_in, bytes_out
+        # Synchronous (ray.get) so every counter delta has landed before the
+        # worker's map task returns — the driver snapshots right after the
+        # Dataset execution finishes, and a fire-and-forget send could still
+        # be in flight at that point (observed as undercounted manifests).
+        # One tiny round-trip per *batch* (not per row): negligible even at
+        # 100 TB block counts, and shardable by chunk_id if it ever isn't.
+        ray.get(
+            get_lineage_actor(name).record.remote(
+                chunk_id, stage, rows_in, rows_out, bytes_in, bytes_out
+            ),
+            timeout=30,
         )
     except Exception:
         pass  # lineage is advisory; never fail the data path
