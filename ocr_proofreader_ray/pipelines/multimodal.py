@@ -1,0 +1,108 @@
+"""Multimodal pipeline queries (binary media columns over ``documents``).
+
+The media table is synthesized deterministically inside the query from
+``documents`` (payload = 20-byte header + UTF-8 text — see stages/media.py),
+so the DuckDB oracle can reproduce the SQL-expressible parts exactly:
+``octet_length(encode(text)) + 20`` is the payload size, and kind/dims are
+pure functions of ``doc_id``.
+
+``q_media_metadata`` is the oracle-checked surface (metadata/aggregate path);
+``q_image_features`` and ``q_video_frames`` run the full actor-pool decode /
+thumbnail / frame-sample plumbing (rows-only driver check — the fake codec
+has no SQL analogue).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+from ocr_proofreader_ray.pipelines.registry import register
+from ocr_proofreader_ray.stages.media import (
+    DecodeStage,
+    FrameSampleStage,
+    ThumbnailStage,
+    synthesize_media_batch,
+)
+
+# media rows are payload-heavy: keep actor batches small so
+# batch_size x concurrency payload bytes stay well inside worker heaps
+MEDIA_BATCH_SIZE = 64
+
+
+def media_dataset(sf_dir: str) -> "ray.data.Dataset":
+    """documents -> synthetic media table (streaming, pruned read)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(synthesize_media_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+@register(
+    "q_media_metadata",
+    sql="""
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+           ELSE 'video' END                                   AS kind,
+           count(*)                                           AS n_items,
+           CAST(sum(octet_length(encode(text)) + 20) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(text)) + 20) AS BIGINT) AS max_bytes
+    FROM documents GROUP BY kind
+    """,
+)
+def q_media_metadata(sf_dir: str):
+    """Typed-metadata aggregate over the binary column (no decode)."""
+    ds = media_dataset(sf_dir)
+
+    def sizes(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": b.column("kind"),
+            "payload_bytes": pc.cast(pc.binary_length(b.column("payload")),
+                                     pa.int64()),
+        })
+
+    ds = ds.map_batches(sizes, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("kind").aggregate(
+        Count(alias_name="n_items"),
+        Sum("payload_bytes", alias_name="total_bytes"),
+        Max("payload_bytes", alias_name="max_bytes"),
+    )
+
+
+@register("q_image_features")  # stubbed codec: rows-only driver check
+def q_image_features(sf_dir: str):
+    """Full actor-pool decode + thumbnail over image-kind media."""
+    ds = media_dataset(sf_dir)
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), "image")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        ThumbnailStage, fn_constructor_args=(8,),
+        batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, 4), num_cpus=1)
+    # second synthesized payload pass feeds the decoder (payload was dropped
+    # by the thumbnail stage); in production these fuse into one stage
+    feats = media_dataset(sf_dir)
+    feats = feats.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), "image")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    feats = feats.map_batches(
+        DecodeStage, fn_constructor_args=(True,),
+        batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, 4), num_cpus=1)
+    return feats.select_columns(
+        ["doc_id", "dec_w", "dec_h", "body_bytes", "mean_val", "std_val"])
+
+
+@register("q_video_frames")  # stubbed codec: rows-only driver check
+def q_video_frames(sf_dir: str):
+    """Frame sampling: one row per sampled frame per video (stride 4)."""
+    ds = media_dataset(sf_dir)
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), "video")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        FrameSampleStage, fn_constructor_args=(4,),
+        batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, 4), num_cpus=1)

@@ -27,6 +27,7 @@ def all_queries() -> dict[str, Callable[[str], Any]]:
     # import side-effect modules that populate the registry
     from ocr_proofreader_ray.pipelines import (  # noqa: F401
         dedup,
+        multimodal,
         relational,
         similarity,
         text_analysis,

@@ -1,0 +1,110 @@
+"""Multimodal binary-column plumbing (SURVEY.md §2 extension; stubbed codec).
+
+The codec is a deterministic FAKE container (no image/audio libs in this
+environment) but the Ray-side plumbing — schema, actor-pool stages, batch
+sizing, output layout — is real and exercised here.
+"""
+
+import struct
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from ocr_proofreader_ray.stages.media import (
+    HEADER_LEN,
+    MAGIC,
+    DecodeStage,
+    FrameSampleStage,
+    ThumbnailStage,
+    _dims_for,
+    synthesize_media_batch,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_batch(n=30):
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([f"doc {i} " + "x" * (i * 7 % 50) for i in range(n)]),
+    })
+
+
+def test_synthesize_schema_and_header():
+    media = synthesize_media_batch(_docs_batch())
+    assert media.schema.names == [
+        "doc_id", "kind", "payload", "media_w", "media_h", "n_frames"]
+    assert media.schema.field("payload").type == pa.binary()
+    assert media.schema.field("media_w").type == pa.uint32()
+    for row in media.to_pylist():
+        p = row["payload"]
+        assert p[:4] == MAGIC
+        kind, w, h, frames = struct.unpack_from("<B3xIII", p, 4)
+        assert (w, h, frames) == _dims_for(row["doc_id"], kind)
+        assert (row["media_w"], row["media_h"], row["n_frames"]) == (w, h, frames)
+        # body is the document text
+        text = _docs_batch().column("text")[row["doc_id"]].as_py()
+        assert p[HEADER_LEN:] == text.encode()
+
+
+def test_decode_stage_roundtrip_and_state():
+    media = synthesize_media_batch(_docs_batch())
+    stage = DecodeStage(strict=True)
+    out = stage(media)
+    assert "payload" not in out.schema.names  # payload dropped for memory
+    assert out.num_rows == media.num_rows
+    assert stage.decoded == media.num_rows  # actor state accumulates
+    for row in out.to_pylist():
+        assert row["dec_w"] == row["media_w"]
+        assert row["dec_h"] == row["media_h"]
+        assert row["body_bytes"] > 0
+
+
+def test_decode_rejects_real_formats():
+    jpeg = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "payload": pa.array([b"\xff\xd8\xff\xe0" + b"\x00" * 64], pa.binary()),
+    })
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        DecodeStage(strict=True)(jpeg)
+    # lenient mode flags instead of failing the batch
+    out = DecodeStage(strict=False)(jpeg)
+    assert out.column("dec_w").to_pylist() == [0]
+
+
+def test_thumbnail_fixed_size_and_deterministic():
+    media = synthesize_media_batch(_docs_batch())
+    out1 = ThumbnailStage(side=8)(media)
+    out2 = ThumbnailStage(side=8)(media)
+    assert all(len(t) == 64 for t in out1.column("thumbnail").to_pylist())
+    assert out1.equals(out2)
+
+
+def test_frame_sampling_counts():
+    media = synthesize_media_batch(_docs_batch(60))
+    videos = media.filter(pc.equal(media.column("kind"), "video"))
+    out = FrameSampleStage(stride=4)(videos)
+    by_doc: dict[int, int] = {}
+    for row in out.to_pylist():
+        by_doc[row["doc_id"]] = by_doc.get(row["doc_id"], 0) + 1
+    for row in videos.to_pylist():
+        expect = -(-row["n_frames"] // 4)  # ceil
+        assert by_doc[row["doc_id"]] == expect
+
+
+def test_media_queries_via_ray(ray_session):
+    """End-to-end through the registered query surface (actor pools)."""
+    from ocr_proofreader_ray.pipelines.registry import all_queries
+
+    q = all_queries()
+    meta = q["q_media_metadata"](SF).to_pandas()
+    assert sorted(meta["kind"]) == ["audio", "image", "video"]
+    assert (meta["total_bytes"] > meta["n_items"] * HEADER_LEN).all()
+
+    feats = q["q_image_features"](SF).to_pandas()
+    assert len(feats) > 0 and (feats["dec_w"] > 0).all()
+
+    frames = q["q_video_frames"](SF).to_pandas()
+    assert len(frames) > len(feats)  # multiple frames per video
+    assert set(frames["kind"]) == {"video"}
