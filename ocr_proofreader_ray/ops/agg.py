@@ -1,0 +1,93 @@
+"""Partial-aggregation ("combiner") grouped aggregates.
+
+Ray Data's ``groupby().aggregate()`` is a sort-based all-to-all over every
+input row — measured ~15 s for a 6-group aggregate of 600 k rows, because
+the whole table moves.  The scale-correct plan for aggregates is the
+combiner pattern: each ``map_batches`` task reduces its batch with pyarrow's
+C++ ``Table.group_by`` (vectorized, zero Python per row), so only
+``n_blocks x n_groups`` partial rows ever leave the map stage.
+
+Two final-merge strategies:
+
+* ``final="driver"`` — partials are gathered and merged on the driver with
+  one more pyarrow group_by.  Right when group cardinality is small
+  (dimension keys, day buckets: ≤ ~10^5 groups) — the gathered data is tiny
+  at ANY input scale, so this stays cheap on a 256-node cluster.
+* ``final="ray"`` — partials go through a Ray ``groupby().aggregate()``.
+  Right for high-cardinality keys (per-customer, per-token) where the
+  partials themselves are big; the shuffle still moves only partials,
+  never input rows.
+
+Supported agg fns: ``sum`` / ``min`` / ``max`` / ``count`` (count of rows).
+Means are derived by callers from sum+count (exact-integer trick).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+# how each partial column merges in the final pass
+_MERGE_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+_RAY_AGG = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
+
+
+def _partial_specs(aggs: list[tuple[str | None, str, str]]):
+    """-> (pyarrow aggregate specs, partial column names); dedups count."""
+    specs, names, seen = [], [], set()
+    for col, fn, _alias in aggs:
+        pname = "count_all" if fn == "count" else f"{col}_{fn}"
+        names.append(pname)
+        if pname not in seen:
+            seen.add(pname)
+            specs.append(([], "count_all") if fn == "count" else (col, fn))
+    return specs, names
+
+
+def grouped_agg(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    aggs: list[tuple[str | None, str, str]],
+    final: str = "driver",
+) -> pa.Table | "ray.data.Dataset":
+    """Grouped aggregate via per-batch pyarrow partials.
+
+    ``aggs``: list of ``(column, fn, alias)``; ``fn`` in sum|min|max|count
+    (column is ignored for count).  Returns a pyarrow Table
+    (``final="driver"``) or a Dataset (``final="ray"``), with columns
+    ``keys + [alias...]`` in declaration order.
+    """
+    specs, pnames = _partial_specs(aggs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(keys).aggregate(specs)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    aliases = [alias for _c, _f, alias in aggs]
+    if final == "ray":
+        merged = parts.groupby(keys).aggregate(*[
+            _RAY_AGG[fn](pname, alias_name=alias)
+            for (c, fn, alias), pname in zip(aggs, pnames)
+        ])
+        return merged
+
+    tables = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        # empty input: derive an empty partial so output schema is stable
+        tables = [partial(ds.schema().base_schema.empty_table())]
+    merged = pa.concat_tables(tables, promote_options="default")
+    # one merge spec per unique partial column (count may repeat)
+    merge_specs = {pname: (pname, _MERGE_FN[fn])
+                   for (_c, fn, _a), pname in zip(aggs, pnames)}
+    out = merged.group_by(keys).aggregate(list(merge_specs.values()))
+    # final columns: keys..., then {pname}_{mergefn} per unique pname
+    rename = {f"{pname}_{_MERGE_FN[fn]}": pname
+              for (c, fn, _a), pname in zip(aggs, pnames)}
+    out = out.rename_columns([rename.get(n, n) for n in out.schema.names])
+    cols = {k: out.column(k) for k in keys}
+    for (c, fn, alias), pname in zip(aggs, pnames):
+        cols[alias] = out.column(pname)
+    return pa.table(cols)

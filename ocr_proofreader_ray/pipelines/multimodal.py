@@ -17,8 +17,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Max, Sum
 
+from ocr_proofreader_ray.ops.agg import grouped_agg
 from ocr_proofreader_ray.pipelines.registry import register
 from ocr_proofreader_ray.stages.media import (
     DecodeStage,
@@ -63,11 +63,11 @@ def q_media_metadata(sf_dir: str):
         })
 
     ds = ds.map_batches(sizes, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby("kind").aggregate(
-        Count(alias_name="n_items"),
-        Sum("payload_bytes", alias_name="total_bytes"),
-        Max("payload_bytes", alias_name="max_bytes"),
-    )
+    return grouped_agg(ds, ["kind"], [
+        (None, "count", "n_items"),
+        ("payload_bytes", "sum", "total_bytes"),
+        ("payload_bytes", "max", "max_bytes"),
+    ])
 
 
 @register("q_image_features")  # stubbed codec: rows-only driver check

@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ocr_proofreader_ray.ops.agg import grouped_agg
 from ocr_proofreader_ray.ops.join import (
     broadcast_join,
     broadcast_semi_anti,
@@ -92,27 +93,17 @@ def q1_pricing_summary(sf_dir: str):
         })
 
     ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("base_cents", alias_name="sum_base_price_cents"),
-        Sum("disc_ucents", alias_name="sum_disc_price_ucents"),
-        Count(alias_name="count_order"),
-    )
-
-    def post(b: pa.Table) -> pa.Table:
-        avg_qty = pc.divide(b.column("sum_qty"),
-                            pc.cast(b.column("count_order"), pa.float64()))
-        return pa.table({
-            "l_returnflag": b.column("l_returnflag"),
-            "l_linestatus": b.column("l_linestatus"),
-            "sum_qty": b.column("sum_qty"),
-            "sum_base_price_cents": b.column("sum_base_price_cents"),
-            "sum_disc_price_ucents": b.column("sum_disc_price_ucents"),
-            "avg_qty": avg_qty,
-            "count_order": b.column("count_order"),
-        })
-
-    return agg.map_batches(post, batch_format="pyarrow", zero_copy_batch=True)
+    # 6 groups: combiner partials + driver-side final merge (ops/agg.py) —
+    # no all-to-all shuffle of input rows
+    agg = grouped_agg(ds, ["l_returnflag", "l_linestatus"], [
+        ("l_quantity", "sum", "sum_qty"),
+        ("base_cents", "sum", "sum_base_price_cents"),
+        ("disc_ucents", "sum", "sum_disc_price_ucents"),
+        (None, "count", "count_order"),
+    ])
+    avg_qty = pc.divide(agg.column("sum_qty"),
+                        pc.cast(agg.column("count_order"), pa.float64()))
+    return agg.add_column(5, "avg_qty", avg_qty)
 
 
 # ---------------------------------------------------------------------------
@@ -240,7 +231,9 @@ def q_global_stats(sf_dir: str):
 )
 def q_distinct_segments(sf_dir: str):
     ds = t(sf_dir, "customer", ["c_mktsegment"])
-    return ds.groupby("c_mktsegment").count().select_columns(["c_mktsegment"])
+    # few distinct values: per-batch distinct partials, driver-side union
+    return grouped_agg(ds, ["c_mktsegment"],
+                       [(None, "count", "n")]).select(["c_mktsegment"])
 
 
 @register(
@@ -253,9 +246,10 @@ def q_distinct_segments(sf_dir: str):
 def q_count_distinct_users(sf_dir: str):
     ds = t(sf_dir, "events", ["event_type", "user_id"])
     # exact distinct: dedupe on (event_type, user_id) first (shuffles only
-    # the distinct pairs), then count per event_type
+    # the distinct pairs), then a combiner count per event_type — the second
+    # all-to-all is replaced by tiny partials merged on the driver
     pairs = ds.groupby(["event_type", "user_id"]).count()
-    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    return grouped_agg(pairs, ["event_type"], [(None, "count", "n_users")])
 
 
 # ---------------------------------------------------------------------------
@@ -298,10 +292,10 @@ def q_nation_revenue(sf_dir: str):
     orders = orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     joined = broadcast_join(orders, cust_nation, on="o_custkey",
                             right_on="c_custkey")
-    return joined.groupby("nation").aggregate(
-        Sum("cents", alias_name="revenue_cents"),
-        Count(alias_name="n_orders"),
-    )
+    return grouped_agg(joined, ["nation"], [
+        ("cents", "sum", "revenue_cents"),
+        (None, "count", "n_orders"),
+    ])
 
 
 @register(
@@ -329,10 +323,10 @@ def q_order_priority_revenue(sf_dir: str):
     orders = t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = shuffle_join(li, orders, on=("l_orderkey",),
                           right_on=("o_orderkey",), num_partitions=16)
-    return joined.groupby("o_orderpriority").aggregate(
-        Sum("rev_ucents", alias_name="revenue_ucents"),
-        Count(alias_name="n_items"),
-    )
+    return grouped_agg(joined, ["o_orderpriority"], [
+        ("rev_ucents", "sum", "revenue_ucents"),
+        (None, "count", "n_items"),
+    ])
 
 
 # ---------------------------------------------------------------------------
@@ -442,6 +436,32 @@ def q_union_segments(sf_dir: str):
 
 
 @register(
+    "q_intersect_custkeys",
+    sql="""
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q_intersect_custkeys(sf_dir: str):
+    """INTERSECT via distinct + broadcast semi join (small side broadcast)."""
+    import pyarrow.parquet as pq
+
+    ds = t(sf_dir, "orders", ["o_custkey"])
+    distinct = ds.groupby("o_custkey").count().select_columns(["o_custkey"])
+    building = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+    building = building.filter(
+        pc.equal(building.column("c_mktsegment"), "BUILDING")
+    ).column("c_custkey")
+    out = broadcast_semi_anti(distinct, building, on="o_custkey")
+    return out.map_batches(
+        lambda b: b.rename_columns(["custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+@register(
     "q_except_custkeys",
     sql="""
     SELECT DISTINCT o_custkey AS custkey FROM orders
@@ -493,9 +513,9 @@ def q_json_props(sf_dir: str):
         })
 
     ds = ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby("event_type").aggregate(
-        Sum("k", alias_name="sum_k"), Count(alias_name="n")
-    )
+    return grouped_agg(ds, ["event_type"], [
+        ("k", "sum", "sum_k"), (None, "count", "n"),
+    ])
 
 
 # ---------------------------------------------------------------------------
@@ -524,10 +544,10 @@ def q_events_daily(sf_dir: str):
         })
 
     ds = ds.map_batches(trunc, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby(["event_type", "day"]).aggregate(
-        Count(alias_name="n_events"),
-        Sum("value_milli", alias_name="sum_value_milli"),
-    )
+    return grouped_agg(ds, ["event_type", "day"], [
+        (None, "count", "n_events"),
+        ("value_milli", "sum", "sum_value_milli"),
+    ])
 
 
 # ---------------------------------------------------------------------------

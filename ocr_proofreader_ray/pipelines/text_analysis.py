@@ -13,9 +13,9 @@ import hashlib
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Sum
 
 from ocr_proofreader_ray.functions.sketches import stable_hash64
+from ocr_proofreader_ray.ops.agg import grouped_agg
 from ocr_proofreader_ray.pipelines.registry import register
 from ocr_proofreader_ray.pipelines.relational import t
 
@@ -51,25 +51,15 @@ def q_token_stats(sf_dir: str):
             "word_chars": pc.cast(pc.subtract(chars, spaces), pa.int64()),
         })
 
-    agg = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
-            .groupby("lang").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("tokens", alias_name="sum_tokens"),
-        Sum("word_chars", alias_name="sum_word_chars"),
-    )
-
-    def post(b: pa.Table) -> pa.Table:
-        avg = pc.divide(pc.cast(b.column("sum_word_chars"), pa.float64()),
-                        b.column("sum_tokens"))
-        return pa.table({
-            "lang": b.column("lang"),
-            "n_docs": b.column("n_docs"),
-            "sum_tokens": b.column("sum_tokens"),
-            "sum_word_chars": b.column("sum_word_chars"),
-            "avg_word_len": avg,
-        })
-
-    return agg.map_batches(post, batch_format="pyarrow", zero_copy_batch=True)
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_agg(prepped, ["lang"], [
+        (None, "count", "n_docs"),
+        ("tokens", "sum", "sum_tokens"),
+        ("word_chars", "sum", "sum_word_chars"),
+    ])
+    avg = pc.divide(pc.cast(agg.column("sum_word_chars"), pa.float64()),
+                    agg.column("sum_tokens"))
+    return agg.append_column("avg_word_len", avg)
 
 
 # ---------------------------------------------------------------------------
@@ -112,23 +102,14 @@ def q_quality_score(sf_dir: str):
             "n_distinct": pa.array(n_distinct, pa.int64()),
         })
 
-    agg = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
-            .groupby("lang").aggregate(
-        Sum("n_tokens", alias_name="sum_tokens"),
-        Sum("n_distinct", alias_name="sum_distinct"),
-    )
-
-    def post(b: pa.Table) -> pa.Table:
-        div = pc.divide(pc.cast(b.column("sum_distinct"), pa.float64()),
-                        b.column("sum_tokens"))
-        return pa.table({
-            "lang": b.column("lang"),
-            "sum_tokens": b.column("sum_tokens"),
-            "sum_distinct": b.column("sum_distinct"),
-            "diversity": div,
-        })
-
-    return agg.map_batches(post, batch_format="pyarrow", zero_copy_batch=True)
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_agg(prepped, ["lang"], [
+        ("n_tokens", "sum", "sum_tokens"),
+        ("n_distinct", "sum", "sum_distinct"),
+    ])
+    div = pc.divide(pc.cast(agg.column("sum_distinct"), pa.float64()),
+                    agg.column("sum_tokens"))
+    return agg.append_column("diversity", div)
 
 
 # ---------------------------------------------------------------------------
@@ -224,4 +205,4 @@ def q_lang_id(sf_dir: str):
         })
 
     ds = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby(["lang", "predicted"]).aggregate(Count(alias_name="n"))
+    return grouped_agg(ds, ["lang", "predicted"], [(None, "count", "n")])
