@@ -91,3 +91,31 @@ def grouped_agg(
     for (c, fn, alias), pname in zip(aggs, pnames):
         cols[alias] = out.column(pname)
     return pa.table(cols)
+
+
+def top_k(
+    ds: "ray.data.Dataset",
+    sort_keys: list[tuple[str, str]],
+    k: int,
+) -> pa.Table:
+    """Distributed top-k without a global sort.
+
+    ``Dataset.sort().limit(k)`` range-partitions EVERY row to produce k of
+    them.  Here each block keeps its local top-k (pyarrow sort of one block),
+    and the driver merges ``n_blocks x k`` survivors — tiny at any input
+    scale.  ``sort_keys``: [(col, "ascending"|"descending"), ...]; ties must
+    be broken by the key list itself for deterministic output.
+    """
+    import pyarrow.compute as pc
+
+    def local(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=sort_keys)
+        return b.take(idx[:k])
+
+    parts = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    tables = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return ds.schema().base_schema.empty_table()
+    merged = pa.concat_tables(tables, promote_options="default")
+    idx = pc.sort_indices(merged, sort_keys=sort_keys)
+    return merged.take(idx[:k]).combine_chunks()

@@ -30,6 +30,7 @@ from ocr_proofreader_ray.functions.sketches import (
     simhash64,
     stable_hash64,
 )
+from ocr_proofreader_ray.ops.agg import grouped_agg
 from ocr_proofreader_ray.pipelines.registry import register
 from ocr_proofreader_ray.pipelines.relational import t
 
@@ -78,20 +79,34 @@ def minhash_lsh_pairs(
     exactly (integer comparison: inter/uni >= thr ⇔ inter*K >= uni*thr*K).
     """
 
+    rows_per_band = _MINHASHER.num_perm // _BANDS
+
     def to_bands(b: pa.Table) -> pa.Table:
-        doc_ids, band_ids, band_keys = [], [], []
-        for doc_id, text in zip(b.column("doc_id").to_pylist(),
-                                b.column("text").to_pylist()):
+        """One (doc_id, band_id, band_key, part) row per band per doc.
+
+        Band keys are a vectorized FNV-1a fold of the band's signature rows
+        (no per-band string hashing); ``part`` is a coarse bucket-preserving
+        partition (same band_key -> same part) so the pair-generation stage
+        runs over ~n_parts groups instead of one Python call per bucket.
+        """
+        doc_ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        n = len(doc_ids)
+        sigs = np.empty((n, _MINHASHER.num_perm), dtype=np.uint64)
+        for i, text in enumerate(texts):
             sh = shingles((text or "").split(), n=shingle_n)
-            sig = _MINHASHER.signature(sh)
-            for band_id, key in enumerate(_MINHASHER.band_keys(sig, bands=_BANDS)):
-                doc_ids.append(doc_id)
-                band_ids.append(band_id)
-                band_keys.append(key - (1 << 63))  # signed for arrow int64
+            sigs[i] = _MINHASHER.signature(sh)
+        bands_mat = sigs.reshape(n, _BANDS, rows_per_band)
+        key = np.full((n, _BANDS), 0xCBF29CE484222325, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(rows_per_band):
+                key = (key ^ bands_mat[:, :, r]) * np.uint64(0x100000001B3)
+        flat_key = key.reshape(-1)
         return pa.table({
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_key": pa.array(band_keys, pa.int64()),
+            "doc_id": pa.array(np.repeat(np.asarray(doc_ids, np.int64), _BANDS)),
+            "band_id": pa.array(np.tile(np.arange(_BANDS, dtype=np.int32), n)),
+            "band_key": pa.array((flat_key - (1 << 63)).view(np.int64)),
+            "part": pa.array((flat_key % np.uint64(128)).astype(np.int32)),
         })
 
     bands = docs.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
@@ -99,20 +114,30 @@ def minhash_lsh_pairs(
     sets_ref = ray.put(token_sets)
     thr_num = int(jaccard_threshold * 1_000_000)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Candidate pairs within one coarse partition — only buckets with
+        >1 member survive the duplicated() prefilter, so the Python loop
+        touches collision buckets only (rare)."""
+        dup = g[g.duplicated(["band_id", "band_key"], keep=False)]
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        for _, ids in dup.groupby(["band_id", "band_key"], sort=False)["doc_id"]:
+            u = np.unique(ids.to_numpy())
+            if len(u) > 1:
+                ia, ib = np.triu_indices(len(u), k=1)
+                out_a.append(u[ia])
+                out_b.append(u[ib])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "doc_a": np.concatenate(out_a),
+            "doc_b": np.concatenate(out_b),
+        }).drop_duplicates()  # same pair from several bands in this part
 
-    pairs = bands.groupby(["band_id", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    # dedupe candidate pairs produced by multiple bands
-    pairs = pairs.groupby(["doc_a", "doc_b"]).count().select_columns(
-        ["doc_a", "doc_b"])
+    pairs = bands.groupby("part").map_groups(part_pairs, batch_format="pandas")
+    # global pair dedup across partitions: tiny post-LSH volume -> combiner
+    pairs_table = grouped_agg(pairs, ["doc_a", "doc_b"], [(None, "count", "n")])
+    pairs = ray.data.from_arrow(pairs_table.select(["doc_a", "doc_b"]))
 
     def verify(b: pa.Table) -> pa.Table:
         sets = ray.get(sets_ref)

@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from ocr_proofreader_ray.ops.agg import grouped_agg
+from ocr_proofreader_ray.ops.agg import grouped_agg, top_k
 from ocr_proofreader_ray.ops.join import (
     broadcast_join,
     broadcast_semi_anti,
@@ -400,14 +400,17 @@ def q_top_customers(sf_dir: str):
             "cents": to_units(b.column("o_totalprice"), 100),
         })
 
-    agg = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
-            .groupby("o_custkey").aggregate(
-        Sum("cents", alias_name="revenue_cents"),
-        Count(alias_name="n_orders"),
+    # high-cardinality key: partials shuffle through Ray, never input rows
+    agg = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"],
+        [("cents", "sum", "revenue_cents"), (None, "count", "n_orders")],
+        final="ray",
     )
-    # deterministic total order: integer revenue desc, key asc
-    return agg.sort(["revenue_cents", "o_custkey"],
-                    descending=[True, False]).limit(10)
+    # deterministic total order: integer revenue desc, key asc; local top-k
+    # per block + driver merge instead of a global range sort
+    return top_k(agg, [("revenue_cents", "descending"),
+                       ("o_custkey", "ascending")], 10)
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ocr_proofreader_ray.ops.agg import top_k
 from ocr_proofreader_ray.pipelines.registry import register
 from ocr_proofreader_ray.pipelines.relational import t
 
@@ -98,7 +99,9 @@ def q_ann_topk(sf_dir: str):
         })
 
     scored = emb.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-    return scored.sort(["cos_micro", "vec_id"], descending=[True, False]).limit(10)
+    # per-block local top-k + driver merge: no global sort shuffle
+    return top_k(scored, [("cos_micro", "descending"),
+                          ("vec_id", "ascending")], 10)
 
 
 # ---------------------------------------------------------------------------
@@ -168,4 +171,5 @@ def q_ann_lsh(sf_dir: str, k: int = 10):
 
     scored = emb.map_batches(score_probed, batch_format="pyarrow",
                              zero_copy_batch=True)
-    return scored.sort(["cos_micro", "vec_id"], descending=[True, False]).limit(k)
+    return top_k(scored, [("cos_micro", "descending"),
+                          ("vec_id", "ascending")], k)

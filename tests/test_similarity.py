@@ -11,7 +11,7 @@ def test_lsh_finds_query_and_returns_k(ray_session):
     # sorted), not recall — recall is asserted on clustered data below
     from ocr_proofreader_ray.pipelines.similarity import q_ann_lsh
 
-    rows = q_ann_lsh(SF).take_all()
+    rows = q_ann_lsh(SF).to_pylist()
     assert rows[0]["vec_id"] == 0
     assert rows[0]["cos_micro"] == 1_000_000
     scores = [r["cos_micro"] for r in rows]
@@ -36,8 +36,8 @@ def test_lsh_recall_on_clustered_vectors(ray_session, tmp_path):
         "label": pa.array([0] * 500, pa.int32()),
     })
     pq.write_table(tab, str(tmp_path / "embeddings.parquet"))
-    brute = [r["vec_id"] for r in q_ann_topk(str(tmp_path)).take_all()]
-    lsh = [r["vec_id"] for r in q_ann_lsh(str(tmp_path)).take_all()]
+    brute = [r["vec_id"] for r in q_ann_topk(str(tmp_path)).to_pylist()]
+    lsh = [r["vec_id"] for r in q_ann_lsh(str(tmp_path)).to_pylist()]
     overlap = len(set(brute) & set(lsh))
     assert overlap >= 7, (brute, lsh)  # clustered neighbors must be recalled
 
@@ -45,6 +45,6 @@ def test_lsh_recall_on_clustered_vectors(ray_session, tmp_path):
 def test_topk_deterministic_across_runs(ray_session):
     from ocr_proofreader_ray.pipelines.similarity import q_ann_topk
 
-    a = [(r["vec_id"], r["cos_micro"]) for r in q_ann_topk(SF).take_all()]
-    b = [(r["vec_id"], r["cos_micro"]) for r in q_ann_topk(SF).take_all()]
+    a = [(r["vec_id"], r["cos_micro"]) for r in q_ann_topk(SF).to_pylist()]
+    b = [(r["vec_id"], r["cos_micro"]) for r in q_ann_topk(SF).to_pylist()]
     assert a == b
