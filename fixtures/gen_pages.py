@@ -256,6 +256,121 @@ def _render_html(doc: _Doc, noisy_paras: list[list[str]]) -> str:
     return _PAGE_TEMPLATE.format(title=title, body="".join(parts))
 
 
+def _synth_doc(
+    i: int,
+    seed: int,
+    langs: tuple[str, ...],
+    p_corrupt: float,
+    p_garbage: float,
+    p_compound: float,
+    whale_every: int,
+    malformed_every: int,
+    whale_factor: int,
+) -> "_Doc":
+    """Build one fully-synthetic document — deterministic in (seed, i) alone,
+    so shards can be generated independently and in parallel."""
+    rng = random.Random((seed << 32) ^ i)
+    lang = langs[i % len(langs)]
+    vocab = VOCAB[lang]
+    vocab_set = set(vocab)
+    n_paras = rng.randint(3, 8)
+    if whale_every and i % whale_every == whale_every - 1:
+        n_paras *= whale_factor
+    paragraphs = []
+    for _ in range(n_paras):
+        n_tok = rng.randint(8, 30)
+        ptoks = [rng.choice(vocab) for _ in range(n_tok)]
+        if rng.random() < p_compound and n_tok >= 4:
+            w1, w2 = rng.choice(vocab), rng.choice(vocab)
+            if (w1 + w2) not in vocab_set:
+                ptoks[rng.randrange(n_tok)] = f"{w1}-{w2}"
+        paragraphs.append(ptoks)
+    doc = _Doc(
+        idx=i,
+        lang=lang,
+        url=f"https://example-{lang}.test/doc/{i:08d}",
+        ts_us=EPOCH_US + i * 1_000_000,
+        paragraphs=paragraphs,
+        malformed=bool(malformed_every and i % malformed_every == malformed_every - 1),
+    )
+    for p, ptoks in enumerate(paragraphs):
+        for ti, tok in enumerate(ptoks):
+            if len(tok) >= 4 and tok.isalpha() and rng.random() < p_corrupt:
+                corrupt = _corrupt_token(rng, tok)
+                if corrupt is not None and not is_garbage(corrupt):
+                    doc.corruptions.append([p, ti, tok, corrupt])
+            if rng.random() < p_garbage:
+                doc.garbage.append((p, ti, rng.choice(GARBAGE_TOKENS)))
+    return doc
+
+
+def render_shard(
+    idx_start: int,
+    idx_end: int,
+    seed: int = 7,
+    langs: tuple[str, ...] = ("en", "de", "es", "fr", "zh"),
+    p_corrupt: float = 0.03,
+    p_garbage: float = 0.015,
+    p_compound: float = 0.25,
+    whale_every: int = 250,
+    malformed_every: int = 20,
+    whale_factor: int = 100,
+) -> pa.Table:
+    """Fast-mode pages for global doc indices [idx_start, idx_end) — no
+    fixpoint, static per-language vocab, empty forbidden-merge set.  A shard
+    is byte-identical whether generated alone or as part of a bigger run."""
+    urls, tss, htmls, texts, langs_col = [], [], [], [], []
+    for i in range(idx_start, idx_end):
+        doc = _synth_doc(i, seed, langs, p_corrupt, p_garbage, p_compound,
+                         whale_every, malformed_every, whale_factor)
+        vset = set(VOCAB[doc.lang])
+        noisy = []
+        for p in range(len(doc.paragraphs)):
+            toks, no_split = _noisy_tokens(doc, p)
+            noisy.append(_wrap_paragraph(toks, no_split, vset, set()))
+        urls.append(doc.url)
+        tss.append(doc.ts_us)
+        htmls.append(_render_html(doc, noisy).encode())
+        texts.append(_extracted_view(noisy))
+        langs_col.append(doc.lang)
+    return pa.table(
+        {
+            "url": urls,
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": texts,
+            "lang": langs_col,
+        },
+        schema=PAGES_SCHEMA,
+    )
+
+
+def generate_pages_parallel(
+    out_dir: str, n_docs: int, seed: int = 7, n_files: int = 64, **params
+) -> None:
+    """Benchmark-scale generation: one Ray task per output shard (the
+    fixpoint-free fast path is embarrassingly parallel by doc index)."""
+    import os
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_docs + n_files - 1) // n_files
+
+    @ray.remote
+    def shard(s: int) -> int:
+        lo, hi = s * per, min((s + 1) * per, n_docs)
+        if lo >= hi:
+            return 0
+        table = render_shard(lo, hi, seed=seed, **params)
+        pq.write_table(table, f"{out_dir}/pages-{s:05d}.parquet",
+                       row_group_size=2000)
+        return hi - lo
+
+    total = sum(ray.get([shard.remote(s) for s in range(n_files)]))
+    assert total == n_docs, (total, n_docs)
+
+
 def _extracted_view(noisy_paras: list[list[str]]) -> str:
     """What the engine's HTML extractor returns for this page (and the raw
     ``text`` column view): wrapped paragraphs separated by blank lines."""
@@ -279,6 +394,7 @@ def generate_pages(
     strict: bool = True,
     write_golden: bool = True,
     n_files: int = 1,
+    fast: bool = False,
 ) -> dict:
     """Generate pages.parquet (+ golden_extracted.parquet, lang_dict_golden
     .parquet) under ``out_dir``.  Returns generation stats."""
@@ -290,27 +406,16 @@ def generate_pages(
     docs: list[_Doc] = []
     vocab_sets = {lang: set(VOCAB[lang]) for lang in VOCAB}
     for i in range(n_docs):
+        if clean_texts is None:
+            docs.append(_synth_doc(i, seed, langs, p_corrupt, p_garbage,
+                                   p_compound, whale_every, malformed_every,
+                                   whale_factor))
+            continue
         rng = random.Random((seed << 32) ^ i)
-        if clean_texts is not None:
-            lang, text = clean_texts[i % len(clean_texts)]
-            toks = text.split()
-            paragraphs = [toks[j:j + 14] for j in range(0, len(toks), 14)] or [["empty"]]
-            vocab_sets.setdefault(lang, set())
-        else:
-            lang = langs[i % len(langs)]
-            vocab = VOCAB[lang]
-            n_paras = rng.randint(3, 8)
-            if whale_every and i % whale_every == whale_every - 1:
-                n_paras *= whale_factor
-            paragraphs = []
-            for _ in range(n_paras):
-                n_tok = rng.randint(8, 30)
-                ptoks = [rng.choice(vocab) for _ in range(n_tok)]
-                if rng.random() < p_compound and n_tok >= 4:
-                    w1, w2 = rng.choice(vocab), rng.choice(vocab)
-                    if (w1 + w2) not in vocab_sets[lang]:
-                        ptoks[rng.randrange(n_tok)] = f"{w1}-{w2}"
-                paragraphs.append(ptoks)
+        lang, text = clean_texts[i % len(clean_texts)]
+        toks = text.split()
+        paragraphs = [toks[j:j + 14] for j in range(0, len(toks), 14)] or [["empty"]]
+        vocab_sets.setdefault(lang, set())
         doc = _Doc(
             idx=i,
             lang=lang,
@@ -348,7 +453,9 @@ def generate_pages(
     # ---- 2. fixpoint: build engine dictionary, verify invertibility --------
     forbidden_merges: set[str] = set()
     stats = {"reverted_corruptions": 0, "rounds": 0}
-    for _round in range(6):
+    # ``fast``: one rendering round, no invertibility verification — for
+    # benchmark-scale inputs where byte-exact golden output isn't asserted
+    for _round in range(1 if fast else 6):
         stats["rounds"] = _round + 1
         # simulate the engine's Pass-1 build over the extracted text
         raw: dict[str, Counter] = {}
@@ -369,6 +476,8 @@ def generate_pages(
             lang: apply_dict_policy(c, min_count=min_count, top_k=top_k)
             for lang, c in raw.items()
         }
+        if fast:
+            break
         correctors = {lang: SpellCorrector(d) for lang, d in lang_dicts.items()}
 
         violations = 0

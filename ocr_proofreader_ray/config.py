@@ -24,12 +24,13 @@ class ExtractionConfig:
     dict_top_k: int | None = 50_000
 
     # parallelism / batching
-    correct_batch_size: int = 64
-    correct_concurrency: tuple[int, int] | int | None = None  # None → tasks? use pool default
+    correct_batch_size: int = 128
+    correct_concurrency: tuple[int, int] | int | None = None  # None → (8, ncpu)
     extract_num_cpus: float = 1.0
 
-    # skew handling (SURVEY.md §2 A2): sort post-extraction rows by size so
-    # the actor pool sees size-homogeneous batches, biggest first (LPT)
+    # skew handling (SURVEY.md §2 A2): whales isolate into their own blocks
+    # via byte-bounded block splitting; per-block biggest-first ordering
+    # gives LPT dispatch and size-homogeneous actor batches (no shuffle)
     size_bucketing: bool = True
 
     # checkpoint-resume granularity: input files per chunk; 0 → single chunk

@@ -35,15 +35,20 @@ import uuid
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray
 import ray.data
 from ray.data.aggregate import Sum
 
 from ocr_proofreader_ray.config import ExtractionConfig
+from ocr_proofreader_ray.ops.agg import grouped_agg
+
+# dictionary partial-count rows at or below this merge on the driver (one
+# combiner aggregate); above it, a Ray hash shuffle does the global merge
+_DRIVER_MERGE_MAX_ROWS = 20_000_000
 from ocr_proofreader_ray.functions.dictionary import apply_dict_policy, save_dicts
 from ocr_proofreader_ray.stages.corrector import Corrector
 from ocr_proofreader_ray.stages.extract import (
-    add_size_bucket,
     extract_batch,
     tokenize_count_batch,
 )
@@ -147,23 +152,42 @@ def _topk_per_lang(group: pa.Table, top_k: int) -> pa.Table:
 
 
 def build_dictionary(cfg: ExtractionConfig) -> str:
-    """Global (lang, token) frequency aggregate → deterministic dictionary."""
-    counts = ray.data.read_parquet(sorted(globmod.glob(f"{cfg.counts_dir}/chunk-*/*.parquet")))
-    agg = counts.groupby(["lang", "token"]).aggregate(Sum("count", alias_name="freq"))
+    """Global (lang, token) frequency aggregate → deterministic dictionary.
+
+    The counts files are already per-batch partial aggregates (A4), so the
+    remaining merge is over (lang, token) partials.  Small vocabularies
+    (total partial rows under ``_DRIVER_MERGE_MAX_ROWS``) merge directly via
+    the combiner aggregate; larger ones go through a Ray hash shuffle first
+    so the driver only ever sees post-policy rows (≤ top_k per language)."""
+    files = sorted(globmod.glob(f"{cfg.counts_dir}/chunk-*/*.parquet"))
+    total_rows = sum(pq.read_metadata(f).num_rows for f in files)
+    counts = ray.data.read_parquet(files)
     min_count = cfg.dict_min_count
-    agg = agg.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("freq"), min_count)),
-        batch_format="pyarrow",
-    )
-    if cfg.dict_top_k is not None:
-        top_k = cfg.dict_top_k
-        agg = agg.groupby("lang").map_groups(
-            lambda g: _topk_per_lang(g, top_k), batch_format="pyarrow"
+    if total_rows <= _DRIVER_MERGE_MAX_ROWS:
+        agg = grouped_agg(counts, ["lang", "token"],
+                          [("count", "sum", "freq")])
+        agg = agg.filter(pc.greater_equal(agg.column("freq"), min_count))
+        lang_dicts: dict[str, dict[str, int]] = {}
+        for lang, token, freq in zip(agg.column("lang").to_pylist(),
+                                     agg.column("token").to_pylist(),
+                                     agg.column("freq").to_pylist()):
+            lang_dicts.setdefault(lang, {})[token] = int(freq)
+    else:
+        ds = counts.groupby(["lang", "token"]).aggregate(
+            Sum("count", alias_name="freq"))
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("freq"), min_count)),
+            batch_format="pyarrow",
         )
-    # post-policy result is small (≤ top_k rows per language) → driver-safe
-    lang_dicts: dict[str, dict[str, int]] = {}
-    for row in agg.take_all():
-        lang_dicts.setdefault(row["lang"], {})[row["token"]] = int(row["freq"])
+        if cfg.dict_top_k is not None:
+            top_k = cfg.dict_top_k
+            ds = ds.groupby("lang").map_groups(
+                lambda g: _topk_per_lang(g, top_k), batch_format="pyarrow"
+            )
+        # post-policy result is small (≤ top_k rows per language)
+        lang_dicts = {}
+        for row in ds.take_all():
+            lang_dicts.setdefault(row["lang"], {})[row["token"]] = int(row["freq"])
     # re-apply the policy centrally for a canonical, sorted, deterministic file
     lang_dicts = {
         lang: apply_dict_policy(d, min_count=cfg.dict_min_count, top_k=cfg.dict_top_k)
@@ -183,15 +207,34 @@ def run_pass2_chunk(cfg: ExtractionConfig, chunk_id: int,
 
     ds = ray.data.read_parquet(raw_final, columns=["url", "lang", "raw_text", "n_chars"])
     if cfg.size_bucketing:
-        # explicit size-bucketed batching (north_star): coarse log2 buckets,
-        # biggest first → LPT-style scheduling, homogeneous actor batches
-        ds = ds.map_batches(add_size_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        ds = ds.sort(["size_bucket", "n_chars"], descending=True)
+        # size-bucketed batching (north_star): whale pages are already
+        # isolated into their own blocks by Ray's byte-bounded block
+        # splitting (the explicit repartition); within each block, order
+        # biggest-first so whale batches dispatch to the actor pool before
+        # the long tail of small pages (LPT scheduling) and each batch is
+        # size-homogeneous.  A LOCAL per-block sort — the previous global
+        # sort paid a full all-to-all shuffle of the text column (~5.5 s at
+        # 50 k docs) for ordering that only matters within a block.
+        def lpt_order(b: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(b, sort_keys=[("n_chars", "descending")])
+            return b.take(idx)
+
+        ds = ds.map_batches(lpt_order, batch_format="pyarrow", zero_copy_batch=True)
 
     concurrency = cfg.correct_concurrency
     if concurrency is None:
         ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, ncpu))
+        if ncpu >= 16:
+            # wide pools: prestart a fixed ncpu-2 pool (autoscale ramp costs
+            # several seconds of idle actors; 2 CPUs stay free for the read
+            # and write tasks that feed/drain the pool — a full-width pool
+            # starves them, observed as a deadlock-like stall)
+            w = ncpu - 2
+            concurrency = (w, w)
+        else:
+            # narrow pools are compute-bound: give the pool all-but-one CPU
+            # and let it autoscale to full width under backlog
+            concurrency = (max(1, ncpu - 1), max(2, ncpu))
     ds = ds.map_batches(
         _CorrectorStage,
         fn_constructor_args=(cfg.dict_path, lineage_name, chunk_id),
@@ -226,12 +269,15 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
     m1 = mstate.Manifest(cfg.manifest_dir, "pass1")
     m2 = mstate.Manifest(cfg.manifest_dir, "pass2")
 
-    def counters_for(chunk_id: int) -> dict:
+    def chunk_rows(chunk_files: list[str]) -> int:
+        return sum(pq.read_metadata(f).num_rows for f in chunk_files)
+
+    def counters_for(chunk_id: int, expected: dict[str, int]) -> dict:
         if lineage_handle is None:
             return {}
-        snap = ray.get(lineage_handle.snapshot.remote())
-        prefix = f"{chunk_id}/"
-        return {k[len(prefix):]: v for k, v in snap.items() if k.startswith(prefix)}
+        # async records may still be in flight when the Dataset execution
+        # returns — reconcile against the known input row count
+        return mstate.wait_for_rows(lineage_handle, chunk_id, expected)
 
     dict_needed = not os.path.exists(cfg.dict_path)
     for chunk_id, chunk_files in enumerate(chunks):
@@ -240,7 +286,9 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
             continue
         t0 = time.time()
         run_pass1_chunk(cfg, chunk_id, chunk_files, lineage_name)
-        m1.record_done(chunk_id, fp, chunk_files, counters_for(chunk_id), time.time() - t0)
+        m1.record_done(chunk_id, fp, chunk_files,
+                       counters_for(chunk_id, {"extract": chunk_rows(chunk_files)}),
+                       time.time() - t0)
         dict_needed = True  # counts changed → rebuild dictionary
 
     if dict_needed:
@@ -252,7 +300,9 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
             continue
         t0 = time.time()
         run_pass2_chunk(cfg, chunk_id, lineage_name)
-        m2.record_done(chunk_id, fp, chunk_files, counters_for(chunk_id), time.time() - t0)
+        m2.record_done(chunk_id, fp, chunk_files,
+                       counters_for(chunk_id, {"correct": chunk_rows(chunk_files)}),
+                       time.time() - t0)
 
     if lineage_handle is not None:
         ray.kill(lineage_handle)

@@ -28,6 +28,7 @@ def all_queries() -> dict[str, Callable[[str], Any]]:
     from ocr_proofreader_ray.pipelines import (  # noqa: F401
         dedup,
         multimodal,
+        pdf,
         relational,
         similarity,
         text_analysis,
