@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -551,6 +553,119 @@ def q_events_daily(sf_dir: str):
         (None, "count", "n_events"),
         ("value_milli", "sum", "sum_value_milli"),
     ])
+
+
+# ---------------------------------------------------------------------------
+# window functions: rank within group, gap-based sessionization
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_rank_in_segment",
+    sql="""
+    WITH rev AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY segment, custkey
+    ), ranked AS (
+        SELECT segment, custkey, revenue_cents,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY revenue_cents DESC, custkey ASC)
+                   AS rnk
+        FROM rev
+    )
+    SELECT segment, custkey, revenue_cents, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_rank_in_segment(sf_dir: str):
+    """Window row_number per group: top-3 customers by revenue in each
+    market segment.  Revenue per customer via combiner partials shuffled
+    through Ray (high-cardinality key); the per-segment ranking is a
+    5-group map_groups with a deterministic total order."""
+    import pyarrow.parquet as pq
+
+    orders = t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "cents": to_units(b.column("o_totalprice"), 100),
+        })
+
+    rev = grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"], [("cents", "sum", "revenue_cents")], final="ray",
+    )
+    seg = pq.read_table(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+    seg = seg.rename_columns(["c_custkey", "segment"])
+    rev = broadcast_join(rev, seg, on="o_custkey", right_on="c_custkey")
+
+    def rank_top3(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("revenue_cents", "descending"),
+                                            ("o_custkey", "ascending")])
+        g = g.take(idx[:3])
+        return pa.table({
+            "segment": g.column("segment"),
+            "custkey": g.column("o_custkey"),
+            "revenue_cents": g.column("revenue_cents"),
+            "rnk": pa.array(range(1, g.num_rows + 1), pa.int64()),
+        })
+
+    return rev.groupby("segment").map_groups(rank_top3, batch_format="pyarrow")
+
+
+@register(
+    "q_user_sessions",
+    sql="""
+    WITH ordered AS (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM ordered GROUP BY user_id
+    """,
+)
+def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization (the batch analogue of a session window):
+    a user's events split into sessions at >30-minute gaps.
+
+    Users are co-grouped by a coarse hash partition (one map_groups call
+    per partition, not per user — see the MinHash lesson) and sessionized
+    with vectorized pandas inside the partition.  Partitioning assumption:
+    all events of one user land in one partition (hash of user_id)."""
+    ds = t(sf_dir, "events", ["user_id", "ts"])
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = pc.cast(imod(b.column("user_id"), 64), pa.int32())
+        return b.append_column("part", part)
+
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        small_gap = g["ts"].diff() <= gap
+        new_session = ~(same_user & small_gap)
+        out = (pd.DataFrame({"user_id": g["user_id"],
+                             "new_session": new_session.astype("int64")})
+               .groupby("user_id", sort=False)
+               .agg(n_sessions=("new_session", "sum"),
+                    n_events=("new_session", "size"))
+               .reset_index())
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("part").map_groups(sessionize, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,42 @@ def q_token_stats(sf_dir: str):
     return agg.append_column("avg_word_len", avg)
 
 
+@register(
+    "q_token_regex",
+    sql="""
+    SELECT lang,
+           CAST(sum(length(replace(
+               regexp_replace(text, '[a-z0-9]+|[^a-z0-9 ]', 'x', 'g'),
+               ' ', ''))) AS BIGINT) AS sum_bpe_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def q_token_regex(sf_dir: str):
+    """BPE-ish regex token counting: word pieces = alnum runs, every other
+    non-space char its own token (the GPT-2 pre-tokenizer shape, simplified
+    to what DuckDB's regex engine can replicate exactly: each match is
+    replaced by one 'x', so output length == token count).  The compiled
+    pattern lives in module state — compiled once per worker process."""
+    import re
+
+    pat = re.compile(r"[a-z0-9]+|[^a-z0-9 ]")
+    ds = t(sf_dir, "documents", ["lang", "text"])
+
+    def count(b: pa.Table) -> pa.Table:
+        ns = [len(pat.findall(x or "")) for x in b.column("text").to_pylist()]
+        return pa.table({
+            "lang": b.column("lang"),
+            "bpe_tokens": pa.array(ns, pa.int64()),
+        })
+
+    prepped = ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(prepped, ["lang"], [
+        ("bpe_tokens", "sum", "sum_bpe_tokens"),
+        (None, "count", "n_docs"),
+    ])
+
+
 # ---------------------------------------------------------------------------
 # quality scoring: lexical-diversity ratio from exact integer counts
 # ---------------------------------------------------------------------------
