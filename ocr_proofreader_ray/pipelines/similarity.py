@@ -135,6 +135,68 @@ def lsh_probe_masks(mat: np.ndarray, planes: np.ndarray,
     return sel
 
 
+@register("q_ann_ivf")  # sketch-based: rows-only driver check
+def q_ann_ivf(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4):
+    """IVF (inverted-file) ANN: a coarse quantizer splits vectors into
+    cells; only the ``n_probe`` cells nearest the query are scored exactly.
+
+    Centroids come from a deterministic seeded Lloyd refinement over a
+    systematic sample, trained once on the driver and broadcast — at scale
+    this is the classic train-small/assign-everywhere IVF split, with cell
+    assignment + scoring fully vectorized inside ``map_batches``.
+    """
+    import pyarrow.parquet as pq
+
+    q = _query_vector(sf_dir)
+
+    # --- train the coarse quantizer on a deterministic sample -------------
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tab.column("vec_id").to_pylist())
+    sample_mask = ids % 7 == 0  # systematic, seedless, reproducible
+    sample = np.asarray(
+        tab.column("embedding").to_pylist(), dtype=np.float64)[sample_mask]
+    order = np.argsort(ids[sample_mask])
+    sample = sample[order]
+    centroids = sample[:n_cells].copy()  # deterministic init: lowest ids
+    for _ in range(5):  # Lloyd iterations
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+
+    qd = ((q.astype(np.float64) - centroids) ** 2).sum(axis=1)
+    probe_cells = set(np.argsort(qd)[:n_probe].tolist())
+
+    emb = t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qref = ray.put(q)
+    cent_ref = ray.put(centroids)
+
+    def score_cells(b: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        cents = ray.get(cent_ref)
+        mat = _batch_matrix(b)
+        d = ((mat[:, None, :].astype(np.float64) - cents[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1)
+        sel = np.isin(cell, list(probe_cells))
+        if not sel.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos_micro": pa.array([], pa.int64())})
+        sub = mat[sel]
+        ids_ = b.column("vec_id").to_numpy(zero_copy_only=False)[sel]
+        return pa.table({
+            "vec_id": pa.array(ids_, pa.int64()),
+            "cos_micro": pa.array(cosine_micro(sub, qv), pa.int64()),
+        })
+
+    scored = emb.map_batches(score_cells, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return top_k(scored, [("cos_micro", "descending"),
+                          ("vec_id", "ascending")], k)
+
+
 @register("q_ann_lsh")  # sketch-based: rows-only driver check
 def q_ann_lsh(sf_dir: str, k: int = 10):
     """Multi-table hyperplane LSH: probe the query's bucket + Hamming-1

@@ -15,6 +15,8 @@ from ocr_proofreader_ray.functions.dictionary import load_dicts
 from ocr_proofreader_ray.functions.line_join import join_lines
 from ocr_proofreader_ray.functions.spell import SpellCorrector
 
+SPAN_TYPE = pa.list_(pa.struct([("start", pa.int32()), ("end", pa.int32())]))
+
 EXTRACTED_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -22,8 +24,23 @@ EXTRACTED_SCHEMA = pa.schema(
         ("extracted_text", pa.string()),
         ("n_lines", pa.int32()),
         ("n_tokens", pa.int32()),
+        # char-offset [start, end) of each paragraph within extracted_text
+        # (north_rule: "extracted text/spans per document"); invariant:
+        # extracted_text[s.start:s.end] is exactly paragraph i, and
+        # paragraphs are separated by "\n\n"
+        ("paragraph_spans", SPAN_TYPE),
     ]
 )
+
+
+def paragraph_spans(text: str) -> list[dict[str, int]]:
+    """[start, end) offsets of each blank-line-separated paragraph."""
+    spans = []
+    pos = 0
+    for para in text.split("\n\n"):
+        spans.append({"start": pos, "end": pos + len(para)})
+        pos += len(para) + 2  # the "\n\n" separator
+    return spans
 
 
 class Corrector:
@@ -49,12 +66,13 @@ class Corrector:
     def __call__(self, batch: pa.Table) -> pa.Table:
         langs = batch.column("lang").to_pylist()
         texts = batch.column("raw_text").to_pylist()
-        outs, n_lines, n_tokens = [], [], []
+        outs, n_lines, n_tokens, spans = [], [], [], []
         for lang, text in zip(langs, texts):
             final, nl, nt = self.correct_one(lang, text)
             outs.append(final)
             n_lines.append(nl)
             n_tokens.append(nt)
+            spans.append(paragraph_spans(final))
         return pa.table(
             {
                 "url": batch.column("url"),
@@ -62,6 +80,7 @@ class Corrector:
                 "extracted_text": pa.array(outs, pa.string()),
                 "n_lines": pa.array(n_lines, pa.int32()),
                 "n_tokens": pa.array(n_tokens, pa.int32()),
+                "paragraph_spans": pa.array(spans, SPAN_TYPE),
             },
             schema=EXTRACTED_SCHEMA,
         )

@@ -54,6 +54,11 @@ def test_byte_identical_output(ray_session, pages_dir, tmp_path):
         assert r["n_lines"] == g["n_lines"], url
         assert r["n_tokens"] == g["n_tokens"], url
         assert r["lang"] == g["lang"]
+        # span invariant: slices reconstruct the paragraphs exactly
+        paras = r["extracted_text"].split("\n\n")
+        assert len(r["paragraph_spans"]) == len(paras), url
+        for span, para in zip(r["paragraph_spans"], paras):
+            assert r["extracted_text"][span["start"]:span["end"]] == para, url
 
 
 def test_dictionary_matches_golden(ray_session, pages_dir, tmp_path):

@@ -42,6 +42,34 @@ def test_lsh_recall_on_clustered_vectors(ray_session, tmp_path):
     assert overlap >= 7, (brute, lsh)  # clustered neighbors must be recalled
 
 
+def test_ivf_mechanism_and_recall(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_proofreader_ray.pipelines.similarity import q_ann_ivf, q_ann_topk
+
+    rng = np.random.RandomState(99)
+    center = rng.standard_normal(64)
+    cluster = center + 0.05 * rng.standard_normal((20, 64))
+    noise = rng.standard_normal((480, 64))
+    mat = np.vstack([cluster, noise]).astype(np.float32)
+    tab = pa.table({
+        "vec_id": pa.array(range(500), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+        "label": pa.array([0] * 500, pa.int32()),
+    })
+    pq.write_table(tab, str(tmp_path / "embeddings.parquet"))
+    brute = [r["vec_id"] for r in q_ann_topk(str(tmp_path)).to_pylist()]
+    ivf = [r["vec_id"] for r in q_ann_ivf(str(tmp_path)).to_pylist()]
+    assert len(ivf) == 10
+    overlap = len(set(brute) & set(ivf))
+    assert overlap >= 7, (brute, ivf)  # clustered neighbors share a cell
+    # deterministic across runs (seedless systematic sample + Lloyd)
+    again = [r["vec_id"] for r in q_ann_ivf(str(tmp_path)).to_pylist()]
+    assert ivf == again
+
+
 def test_topk_deterministic_across_runs(ray_session):
     from ocr_proofreader_ray.pipelines.similarity import q_ann_topk
 
