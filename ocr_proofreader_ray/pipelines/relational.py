@@ -238,6 +238,47 @@ def q_distinct_segments(sf_dir: str):
                        [(None, "count", "n")]).select(["c_mktsegment"])
 
 
+@register("q_approx_distinct_users")  # sketch: rows-only driver check
+def q_approx_distinct_users(sf_dir: str):
+    """HLL approximate count-distinct per event_type — the scale path for
+    B6 when exact pair-dedup would itself be a huge shuffle.  Each batch
+    folds its user_ids into one 4 KiB sketch per event_type; sketches merge
+    by elementwise max on the driver.  NOTHING shuffles — the network moves
+    n_blocks x n_types x 4 KiB regardless of input size.  Accuracy ~1.6%
+    (asserted vs exact in tests/test_hll.py)."""
+    from ocr_proofreader_ray.functions import hll
+
+    ds = t(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        users = b.column("user_id").to_numpy(zero_copy_only=False)
+        types = b.column("event_type").to_numpy(zero_copy_only=False)
+        out_t, out_r = [], []
+        for et in np.unique(types):
+            regs = hll.empty_registers()
+            hll.add_int_keys(regs, users[types == et].astype(np.uint64))
+            out_t.append(str(et))
+            out_r.append(regs.tobytes())
+        return pa.table({"event_type": pa.array(out_t, pa.string()),
+                         "registers": pa.array(out_r, pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    import ray as _ray
+
+    merged: dict[str, np.ndarray] = {}
+    for tbl in _ray.get(parts.to_arrow_refs()):
+        for et, regs in zip(tbl.column("event_type").to_pylist(),
+                            tbl.column("registers").to_pylist()):
+            arr = np.frombuffer(regs, dtype=np.uint8)
+            merged[et] = hll.merge(merged[et], arr) if et in merged else arr
+    rows = sorted((et, int(round(hll.estimate(regs))))
+                  for et, regs in merged.items())
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "approx_users": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
 @register(
     "q_count_distinct_users",
     sql="""
