@@ -42,7 +42,7 @@ BENCH_QUERIES = [
 def ensure_pages(sf_dir: str) -> str:
     """Generate (once, cached) a synthetic pages table sized to this sf.
 
-    100x the sf's documents row count (sf0.1 -> 500k pages, ~1 GB HTML) in
+    400x the sf's documents row count (sf0.1 -> 2M pages, ~4 GB HTML) in
     full-synthetic fast mode: heavy-tailed whale pages and malformed-HTML
     cases are present (the skew handling's reason to exist), golden
     invertibility is not verified (bench asserts row counts, not byte
@@ -59,8 +59,8 @@ def ensure_pages(sf_dir: str) -> str:
 
     from fixtures.gen_pages import generate_pages_parallel
 
-    n_docs = 100 * pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    generate_pages_parallel(out_dir, n_docs=n_docs, seed=7, n_files=64)
+    n_docs = 400 * pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    generate_pages_parallel(out_dir, n_docs=n_docs, seed=7, n_files=128)
     with open(done, "w") as f:
         f.write("ok")
     return out_dir
@@ -113,7 +113,7 @@ def run_bench() -> dict:
     work_dir = f"{BENCH_ROOT}/work_{NUM_CPUS}"
     shutil.rmtree(work_dir, ignore_errors=True)
     cfg = ExtractionConfig(input_paths=pages_glob, work_dir=work_dir,
-                           files_per_chunk=0, enable_lineage=True)
+                           files_per_chunk=0)
     t0 = time.time()
     out = run_extraction(cfg)
     n_out = out.count()

@@ -36,8 +36,10 @@ class ExtractionConfig:
     # checkpoint-resume granularity: input files per chunk; 0 → single chunk
     files_per_chunk: int = 64
 
-    # lineage counters actor
-    enable_lineage: bool = True
+    # live-progress counter actor (advisory telemetry DURING a run).  The
+    # manifest's per-chunk lineage counters do not depend on it — they are
+    # always derived exactly from the committed parquet outputs.
+    enable_lineage: bool = False
 
     # output column layout
     extra_columns: tuple[str, ...] = field(default=())

@@ -130,7 +130,7 @@ def run_pass1_chunk(cfg: ExtractionConfig, chunk_id: int, files: list[str],
         num_cpus=cfg.extract_num_cpus,
         zero_copy_batch=True,
     )
-    ds.write_parquet(raw_tmp)
+    ds.write_parquet(raw_tmp, compression="zstd")  # ~30% fewer bytes than snappy, no slower
     commit_raw()
 
     # token partials from the (much smaller) raw text we just wrote — HTML is
@@ -140,7 +140,7 @@ def run_pass1_chunk(cfg: ExtractionConfig, chunk_id: int, files: list[str],
     raw.map_batches(
         tokenize_count_batch, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
-    ).write_parquet(counts_tmp)
+    ).write_parquet(counts_tmp, compression="zstd")
     commit_counts()
 
 
@@ -244,8 +244,53 @@ def run_pass2_chunk(cfg: ExtractionConfig, chunk_id: int,
         num_cpus=1,
         zero_copy_batch=True,
     )
-    ds.write_parquet(out_tmp)
+    ds.write_parquet(out_tmp, compression="zstd")
     commit()
+
+
+# --------------------------------------------------------------------------
+# lineage counters from committed outputs
+# --------------------------------------------------------------------------
+
+@ray.remote(num_cpus=1)
+def _chunk_counters(raw_dir: str, out_dir: str | None,
+                    input_rows: int) -> dict:
+    """Exact per-chunk, per-stage counters derived from the COMMITTED
+    parquet outputs — facts about data on disk, not messages racing the
+    execution.  Row counts come from footer metadata; byte counts are
+    single-int64-column sums.  Runs as one Ray task per chunk so the driver
+    never scans data itself (parallelizable across chunks at crawl scale)."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    def rows_of(d: str) -> int:
+        return sum(_pq.read_metadata(f"{d}/{f}").num_rows
+                   for f in os.listdir(d) if f.endswith(".parquet"))
+
+    def col_sum(d: str, col: str) -> int:
+        total = 0
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                t = _pq.read_table(f"{d}/{f}", columns=[col])
+                total += int(_pc.sum(t.column(col)).as_py() or 0)
+        return total
+
+    counters = {
+        "extract": {
+            "rows_in": input_rows,
+            "rows_out": rows_of(raw_dir),
+            "bytes_in": col_sum(raw_dir, "html_bytes"),
+            "bytes_out": col_sum(raw_dir, "n_chars"),
+        }
+    }
+    if out_dir is not None and os.path.isdir(out_dir):
+        counters["correct"] = {
+            "rows_in": counters["extract"]["rows_out"],
+            "rows_out": rows_of(out_dir),
+            "bytes_in": counters["extract"]["bytes_out"],
+            "bytes_out": col_sum(out_dir, "n_chars"),
+        }
+    return counters
 
 
 # --------------------------------------------------------------------------
@@ -272,12 +317,12 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
     def chunk_rows(chunk_files: list[str]) -> int:
         return sum(pq.read_metadata(f).num_rows for f in chunk_files)
 
-    def counters_for(chunk_id: int, expected: dict[str, int]) -> dict:
-        if lineage_handle is None:
-            return {}
-        # async records may still be in flight when the Dataset execution
-        # returns — reconcile against the known input row count
-        return mstate.wait_for_rows(lineage_handle, chunk_id, expected)
+    def counters_for(chunk_id: int, with_pass2: bool,
+                     chunk_files: list[str]) -> dict:
+        raw_dir = f"{cfg.raw_dir}/chunk-{chunk_id:05d}"
+        out_dir = f"{cfg.out_dir}/chunk-{chunk_id:05d}" if with_pass2 else None
+        return ray.get(_chunk_counters.remote(
+            raw_dir, out_dir, chunk_rows(chunk_files)))
 
     dict_needed = not os.path.exists(cfg.dict_path)
     for chunk_id, chunk_files in enumerate(chunks):
@@ -287,7 +332,7 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
         t0 = time.time()
         run_pass1_chunk(cfg, chunk_id, chunk_files, lineage_name)
         m1.record_done(chunk_id, fp, chunk_files,
-                       counters_for(chunk_id, {"extract": chunk_rows(chunk_files)}),
+                       counters_for(chunk_id, False, chunk_files),
                        time.time() - t0)
         dict_needed = True  # counts changed → rebuild dictionary
 
@@ -301,7 +346,7 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
         t0 = time.time()
         run_pass2_chunk(cfg, chunk_id, lineage_name)
         m2.record_done(chunk_id, fp, chunk_files,
-                       counters_for(chunk_id, {"correct": chunk_rows(chunk_files)}),
+                       counters_for(chunk_id, True, chunk_files),
                        time.time() - t0)
 
     if lineage_handle is not None:

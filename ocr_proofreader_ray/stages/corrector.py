@@ -24,6 +24,7 @@ EXTRACTED_SCHEMA = pa.schema(
         ("extracted_text", pa.string()),
         ("n_lines", pa.int32()),
         ("n_tokens", pa.int32()),
+        ("n_chars", pa.int64()),
         # char-offset [start, end) of each paragraph within extracted_text
         # (north_rule: "extracted text/spans per document"); invariant:
         # extracted_text[s.start:s.end] is exactly paragraph i, and
@@ -80,6 +81,7 @@ class Corrector:
                 "extracted_text": pa.array(outs, pa.string()),
                 "n_lines": pa.array(n_lines, pa.int32()),
                 "n_tokens": pa.array(n_tokens, pa.int32()),
+                "n_chars": pa.array([len(t) for t in outs], pa.int64()),
                 "paragraph_spans": pa.array(spans, SPAN_TYPE),
             },
             schema=EXTRACTED_SCHEMA,

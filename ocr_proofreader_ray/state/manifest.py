@@ -95,23 +95,10 @@ def report(name: str | None, chunk_id: int, stage: str, rows_in: int,
         pass  # lineage is advisory; never fail the data path
 
 
-def wait_for_rows(handle, chunk_id: int, expected: dict[str, int],
-                  timeout: float = 10.0, interval: float = 0.05) -> dict:
-    """Poll the lineage actor until every ``stage -> rows_in`` in
-    ``expected`` is accounted for (in-flight async records landing), or the
-    timeout passes (counters then reflect whatever arrived — advisory)."""
-    deadline = time.time() + timeout
-    prefix = f"{chunk_id}/"
-    while True:
-        snap = ray.get(handle.snapshot.remote())
-        chunk = {k[len(prefix):]: v for k, v in snap.items()
-                 if k.startswith(prefix)}
-        if all(chunk.get(stage, {}).get("rows_in", 0) >= rows
-               for stage, rows in expected.items()):
-            return chunk
-        if time.time() >= deadline:
-            return chunk
-        time.sleep(interval)
+# NOTE: the manifest's per-chunk counters are no longer sourced from this
+# actor — they are derived exactly from committed parquet outputs
+# (pipelines/extraction.py::_chunk_counters).  The actor remains as optional
+# LIVE progress telemetry (enable_lineage); snapshots are advisory.
 
 
 class Manifest:

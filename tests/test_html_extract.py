@@ -78,3 +78,42 @@ def test_bytes_input_and_entities():
 def test_empty_and_garbage_input():
     assert extract_main_text(b"") == ""
     assert extract_main_text(b"\x00\xff\xfe not html at all") != None  # noqa: E711
+
+
+def test_fast_parser_matches_stdlib_reference():
+    """The fast regex tokenizer must match the stdlib-html.parser reference
+    tree byte-for-byte on representative + adversarial inputs.  (Known,
+    intended divergence: an unterminated ``<!--`` comment at EOF is a
+    comment to EOF per the HTML5 spec in the fast path, while html.parser
+    keeps it as text — not covered here.)"""
+    from fixtures.gen_pages import render_shard
+    from ocr_proofreader_ray.functions.html_extract import (
+        _best_candidate,
+        node_text,
+        parse_html,
+        parse_html_stdlib,
+    )
+
+    def text_via(parser, h):
+        return node_text(_best_candidate(parser(h)))
+
+    pages = render_shard(0, 120, seed=31, malformed_every=5, whale_every=40)
+    for url, h in zip(pages.column("url").to_pylist(),
+                      pages.column("html").to_pylist()):
+        assert text_via(parse_html, h) == text_via(parse_html_stdlib, h), url
+
+    cases = [
+        b"<html><body><p>a &lt; b &amp; c</p></body></html>",
+        b"<div><p><b>unclosed bold<p>next</div></div></div>",
+        b"plain text no tags at all",
+        b"<p>a < b and x<y</p>",
+        b"<script>var x = '<p>not content</p>';</script><p>real</p>",
+        b"<title>skip me</title><p>keep</p>",
+        b"<!-- <p>commented out</p> --><p>kept</p>",
+        b"<a href='q>r'>link text</a><p>body body body</p>",
+        b"<textarea><p>raw</p></textarea><div>after after after</div>",
+        b"<P CLASS='x'>upper tags</P>",
+        b"",
+    ]
+    for c in cases:
+        assert text_via(parse_html, c) == text_via(parse_html_stdlib, c), c
