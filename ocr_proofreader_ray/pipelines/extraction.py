@@ -339,8 +339,14 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
     if dict_needed:
         build_dictionary(cfg)
 
+    # Pass-2 outputs depend on BOTH the chunk's input and the frozen
+    # dictionary: a dictionary rebuild (triggered by any changed/new pass-1
+    # chunk) must invalidate every pass-2 chunk whose corrections could
+    # differ, or resumed outputs would no longer be byte-identical to a
+    # fresh run.  The fingerprint therefore covers input files + dict file.
+    dict_fp = mstate.fingerprint_content(cfg.dict_path)
     for chunk_id, chunk_files in enumerate(chunks):
-        fp = mstate.fingerprint_files(chunk_files)
+        fp = mstate.fingerprint_files(chunk_files) + ":" + dict_fp
         if m2.completed(chunk_id, fp):
             continue
         t0 = time.time()

@@ -353,7 +353,14 @@ def q_nation_revenue(sf_dir: str):
     """,
 )
 def q_order_priority_revenue(sf_dir: str):
-    """Fact-fact shuffle hash join (B7 large-large path, Ray Dataset.join)."""
+    """Fact-fact shuffle hash join (B7 large-large path).
+
+    One exchange total: both sides hash-partition on the order key and join
+    inside each partition.  (A pre-aggregate-lineitem-per-order variant was
+    measured 4x SLOWER — the extra Ray groupby is itself a full sort
+    shuffle, costing more than the 4x row reduction saves.  Pre-aggregation
+    before a shuffle pays off only when it replaces the shuffle, not when
+    it adds one.)"""
     li = t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(b: pa.Table) -> pa.Table:

@@ -27,6 +27,19 @@ import time
 import ray
 
 
+def fingerprint_content(path: str) -> str:
+    """Content hash of one small file (e.g. the dictionary parquet) — size
+    alone can miss a rebuild that changed bytes but not length."""
+    h = hashlib.sha1()
+    try:
+        with open(path, "rb") as f:
+            for block in iter(lambda: f.read(1 << 20), b""):
+                h.update(block)
+    except OSError:
+        h.update(b"<missing>")
+    return h.hexdigest()
+
+
 def fingerprint_files(paths: list[str]) -> str:
     h = hashlib.sha1()
     for p in sorted(paths):

