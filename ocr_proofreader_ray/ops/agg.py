@@ -34,6 +34,42 @@ _MERGE_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 _RAY_AGG = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
 
 
+def _arrow_blocks(ds: "ray.data.Dataset") -> list[pa.Table]:
+    """Materialize a (small) dataset's non-empty blocks as Arrow tables.
+
+    ``to_arrow_refs`` passes pandas blocks through unconverted (seen when an
+    upstream ``map_groups(batch_format="pandas")`` emitted only empty frames
+    and the empty blocks skipped later Arrow stages), so convert here."""
+    import pandas as pd
+
+    out = []
+    for blk in ray.get(ds.to_arrow_refs()):
+        if isinstance(blk, pd.DataFrame):
+            if len(blk):
+                out.append(pa.Table.from_pandas(blk, preserve_index=False))
+        elif blk.num_rows:
+            out.append(blk)
+    return out
+
+
+def _empty_like(ds: "ray.data.Dataset") -> pa.Table:
+    """Empty Arrow table matching a dataset's schema (Arrow or pandas-block)."""
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    if isinstance(base, pa.Schema):
+        return base.empty_table()
+    # PandasBlockSchema: ``types`` may hold numpy dtypes or Arrow DataTypes
+    fields = []
+    for n, typ in zip(schema.names, schema.types):
+        if not isinstance(typ, pa.DataType):
+            try:
+                typ = pa.from_numpy_dtype(typ)
+            except (pa.ArrowNotImplementedError, TypeError):
+                typ = pa.string()  # object dtype and friends
+        fields.append((n, typ))
+    return pa.schema(fields).empty_table()
+
+
 def _partial_specs(aggs: list[tuple[str | None, str, str]]):
     """-> (pyarrow aggregate specs, partial column names); dedups count."""
     specs, names, seen = [], [], set()
@@ -74,10 +110,10 @@ def grouped_agg(
         ])
         return merged
 
-    tables = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    tables = _arrow_blocks(parts)
     if not tables:
         # empty input: derive an empty partial so output schema is stable
-        tables = [partial(ds.schema().base_schema.empty_table())]
+        tables = [partial(_empty_like(ds))]
     merged = pa.concat_tables(tables, promote_options="default")
     # one merge spec per unique partial column (count may repeat)
     merge_specs = {pname: (pname, _MERGE_FN[fn])
@@ -113,9 +149,9 @@ def top_k(
         return b.take(idx[:k])
 
     parts = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
-    tables = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    tables = _arrow_blocks(parts)
     if not tables:
-        return ds.schema().base_schema.empty_table()
+        return _empty_like(ds)
     merged = pa.concat_tables(tables, promote_options="default")
     idx = pc.sort_indices(merged, sort_keys=sort_keys)
     return merged.take(idx[:k]).combine_chunks()

@@ -4,13 +4,19 @@
 Scale notes (100 TB):
 * exact dedup shuffles only (hash, doc_id) pairs, never document text;
 * MinHash-LSH shuffles (band_id, band_key, doc_id) triples — the classic
-  shingle→minhash→band→bucket-groupby plan; candidate verification joins
-  token sets back by doc_id (here: broadcast, because the sf tables are
-  small; the large-scale path is a shuffle join on doc_id — see docstring of
-  ``q_dedup_minhash``);
-* n-gram Jaccard is restricted to (lang, source) co-groups — an explicit
-  partitioning assumption that keeps the pairwise work bounded per group;
-* embedding near-dup co-groups by label (same assumption).
+  shingle→minhash→band→bucket-groupby plan; candidate verification is a
+  SHUFFLE JOIN of exploded (doc_id, shingle) rows against the candidate
+  pairs (inter = multi-key join count), so no worker ever holds more than
+  its hash partition of candidate shingles and the driver only ever sees
+  post-LSH pair aggregates;
+* n-gram Jaccard routes through the same MinHash banding as a prefilter
+  (threshold 0.9 → per-pair LSH miss probability ~1e-15 with 32x4 bands),
+  so pairwise work is bounded by LSH bucket size, not (lang, source)
+  co-group size;
+* SimHash near-dup uses 4x16-bit Hamming-ball band tables (pigeonhole: any
+  pair within Hamming distance 3 shares at least one intact 16-bit band);
+* embedding near-dup buckets by hyperplane-LSH inside each label before
+  exact cosine — per-bucket work replaces the old per-label n^2 matrix.
 """
 
 from __future__ import annotations
@@ -31,6 +37,7 @@ from ocr_proofreader_ray.functions.sketches import (
     stable_hash64,
 )
 from ocr_proofreader_ray.ops.agg import grouped_agg
+from ocr_proofreader_ray.ops.join import broadcast_semi_anti, shuffle_join
 from ocr_proofreader_ray.pipelines.registry import register
 from ocr_proofreader_ray.pipelines.relational import t
 
@@ -57,70 +64,93 @@ def q_dedup_exact(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH near-dup (no SQL oracle — sketch-based)
+# MinHash + LSH banding (shared candidate-generation machinery)
 # ---------------------------------------------------------------------------
 
 _MINHASHER = MinHasher(num_perm=128)
 _BANDS = 32  # 32 bands x 4 rows → catches Jaccard ≳ 0.5 with high recall
+_N_PARTS = 128  # coarse bucket-preserving partition count for pair generation
+
+_PAIRS_SCHEMA = pa.schema([
+    ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+    ("inter", pa.int64()), ("uni", pa.int64()),
+])
 
 
-def minhash_lsh_pairs(
-    docs: "ray.data.Dataset",
-    shingle_n: int = 3,
-    jaccard_threshold: float = 0.5,
-    token_sets: dict[int, set[int]] | None = None,
-) -> "ray.data.Dataset":
-    """shingle → minhash → band → bucket-groupby → verified candidate pairs.
+def _band_rows(docs: "ray.data.Dataset", shingle_n: int,
+               group_cols: tuple[str, ...] = ()) -> "ray.data.Dataset":
+    """One (doc_id, band_id, band_key, part[, group_cols...]) row per band
+    per non-empty doc.
 
-    ``token_sets`` (doc_id → shingle hashes) is broadcast for verification —
-    valid while the candidate universe fits in memory; at 10^12-doc scale
-    replace with a shuffle join of (pair, doc_id) against the shingle table.
-    Output: (doc_a, doc_b, inter, uni) with 2*inter >= uni*2*threshold kept
-    exactly (integer comparison: inter/uni >= thr ⇔ inter*K >= uni*thr*K).
+    Band keys are a vectorized FNV-1a fold of the band's signature rows
+    (no per-band string hashing); ``part`` is a coarse bucket-preserving
+    partition (same band_key -> same part) so the pair-generation stage
+    runs over ~_N_PARTS groups instead of one Python call per bucket.
+    Docs with an empty shingle set emit no rows: they can never satisfy a
+    positive Jaccard threshold (uni = 0) and, left in, they would all share
+    the sentinel signature and quadratically flood one bucket.
     """
-
     rows_per_band = _MINHASHER.num_perm // _BANDS
 
     def to_bands(b: pa.Table) -> pa.Table:
-        """One (doc_id, band_id, band_key, part) row per band per doc.
-
-        Band keys are a vectorized FNV-1a fold of the band's signature rows
-        (no per-band string hashing); ``part`` is a coarse bucket-preserving
-        partition (same band_key -> same part) so the pair-generation stage
-        runs over ~n_parts groups instead of one Python call per bucket.
-        """
         doc_ids = b.column("doc_id").to_pylist()
         texts = b.column("text").to_pylist()
-        n = len(doc_ids)
-        sigs = np.empty((n, _MINHASHER.num_perm), dtype=np.uint64)
+        keep: list[int] = []
+        sig_rows: list[np.ndarray] = []
         for i, text in enumerate(texts):
             sh = shingles((text or "").split(), n=shingle_n)
-            sigs[i] = _MINHASHER.signature(sh)
+            if sh:
+                keep.append(i)
+                sig_rows.append(_MINHASHER.signature(sh))
+        n = len(keep)
+        if n == 0:
+            cols: dict = {
+                "doc_id": pa.array([], pa.int64()),
+                "band_id": pa.array([], pa.int32()),
+                "band_key": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int32()),
+            }
+            for g in group_cols:
+                cols[g] = b.column(g).take(pa.array([], pa.int32()))
+            return pa.table(cols)
+        sigs = np.stack(sig_rows)
         bands_mat = sigs.reshape(n, _BANDS, rows_per_band)
         key = np.full((n, _BANDS), 0xCBF29CE484222325, dtype=np.uint64)
         with np.errstate(over="ignore"):
             for r in range(rows_per_band):
                 key = (key ^ bands_mat[:, :, r]) * np.uint64(0x100000001B3)
         flat_key = key.reshape(-1)
-        return pa.table({
-            "doc_id": pa.array(np.repeat(np.asarray(doc_ids, np.int64), _BANDS)),
+        kept_ids = np.asarray(doc_ids, np.int64)[keep]
+        cols = {
+            "doc_id": pa.array(np.repeat(kept_ids, _BANDS)),
             "band_id": pa.array(np.tile(np.arange(_BANDS, dtype=np.int32), n)),
             "band_key": pa.array((flat_key - (1 << 63)).view(np.int64)),
-            "part": pa.array((flat_key % np.uint64(128)).astype(np.int32)),
-        })
+            "part": pa.array((flat_key % np.uint64(_N_PARTS)).astype(np.int32)),
+        }
+        row_idx = pa.array(np.repeat(np.asarray(keep, np.int64), _BANDS))
+        for g in group_cols:
+            cols[g] = b.column(g).take(row_idx)
+        return pa.table(cols)
 
-    bands = docs.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
+    return docs.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
 
-    sets_ref = ray.put(token_sets)
-    thr_num = int(jaccard_threshold * 1_000_000)
+
+def _candidate_pairs(bands: "ray.data.Dataset",
+                     group_cols: tuple[str, ...] = ()) -> pa.Table:
+    """Globally-deduped candidate (doc_a, doc_b) pairs from band buckets.
+
+    Buckets are (group_cols..., band_id, band_key); only buckets with >1
+    member survive the duplicated() prefilter, so the Python loop touches
+    collision buckets only (rare).  The returned table is the post-LSH pair
+    set — tiny relative to the corpus by construction (this is the whole
+    point of LSH), so the driver-side merge in grouped_agg is safe at scale.
+    """
+    bucket_cols = list(group_cols) + ["band_id", "band_key"]
 
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """Candidate pairs within one coarse partition — only buckets with
-        >1 member survive the duplicated() prefilter, so the Python loop
-        touches collision buckets only (rare)."""
-        dup = g[g.duplicated(["band_id", "band_key"], keep=False)]
+        dup = g[g.duplicated(bucket_cols, keep=False)]
         out_a, out_b = [], []
-        for _, ids in dup.groupby(["band_id", "band_key"], sort=False)["doc_id"]:
+        for _, ids in dup.groupby(bucket_cols, sort=False)["doc_id"]:
             u = np.unique(ids.to_numpy())
             if len(u) > 1:
                 ia, ib = np.triu_indices(len(u), k=1)
@@ -137,7 +167,110 @@ def minhash_lsh_pairs(
     pairs = bands.groupby("part").map_groups(part_pairs, batch_format="pandas")
     # global pair dedup across partitions: tiny post-LSH volume -> combiner
     pairs_table = grouped_agg(pairs, ["doc_a", "doc_b"], [(None, "count", "n")])
-    pairs = ray.data.from_arrow(pairs_table.select(["doc_a", "doc_b"]))
+    return pairs_table.select(["doc_a", "doc_b"]).combine_chunks()
+
+
+def _verify_pairs_shuffle(
+    docs: "ray.data.Dataset",
+    pairs_table: pa.Table,
+    element_rows,
+    thr_num: int,
+    thr_den: int,
+) -> pa.Table:
+    """Exact set-overlap verification of candidate pairs WITHOUT broadcasting
+    per-doc state (VERDICT r01 #1: the 10^12-doc path).
+
+    Plan: semi-filter ``docs`` to candidate doc_ids (a compact key set — at
+    extreme scale swap for a Bloom filter), explode each doc to
+    (doc_id, el) element rows, then
+      inter(a,b) = |{el : el ∈ a ∧ el ∈ b}|
+                 = count of the multi-key shuffle join
+                   (pairs ⋈_{doc_a} elements) ⋈_{(doc_b, el)} elements
+    Set sizes come from a combiner aggregate of the same element rows, and
+    ``uni = sz_a + sz_b - inter``.  Keep ``inter * thr_den >= thr_num * uni``
+    (integer exact; pairs with uni = 0 or inter = 0 drop out of the inner
+    join, matching the broadcast path which also drops them).
+    Shuffled bytes ∝ candidate-set elements, never the corpus.
+    """
+    if pairs_table.num_rows == 0:
+        return _PAIRS_SCHEMA.empty_table()
+
+    cand_ids = pa.concat_arrays([
+        pairs_table.column("doc_a").combine_chunks(),
+        pairs_table.column("doc_b").combine_chunks(),
+    ]).unique()
+    cand_docs = broadcast_semi_anti(docs, cand_ids, on="doc_id")
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, els = [], []
+        for d, text in zip(b.column("doc_id").to_pylist(),
+                           b.column("text").to_pylist()):
+            for el in element_rows(text):
+                ids.append(d)
+                els.append(el)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "el": pa.array(els, pa.int64())})
+
+    elements = cand_docs.map_batches(explode, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+    sizes = grouped_agg(elements, ["doc_id"], [(None, "count", "sz")])
+
+    pairs_ds = ray.data.from_arrow(pairs_table)
+    a_side = shuffle_join(pairs_ds, elements,
+                          on=("doc_a",), right_on=("doc_id",))
+    inter_rows = shuffle_join(a_side, elements,
+                              on=("doc_b", "el"), right_on=("doc_id", "el"))
+    inter = grouped_agg(inter_rows, ["doc_a", "doc_b"],
+                        [(None, "count", "inter")])
+
+    # final threshold filter on the tiny post-LSH pair aggregate
+    sz = dict(zip(sizes.column("doc_id").to_pylist(),
+                  sizes.column("sz").to_pylist()))
+    out = {"doc_a": [], "doc_b": [], "inter": [], "uni": []}
+    for a_id, b_id, n_int in sorted(zip(inter.column("doc_a").to_pylist(),
+                                        inter.column("doc_b").to_pylist(),
+                                        inter.column("inter").to_pylist())):
+        uni = sz.get(a_id, 0) + sz.get(b_id, 0) - n_int
+        if uni > 0 and n_int * thr_den >= thr_num * uni:
+            out["doc_a"].append(a_id)
+            out["doc_b"].append(b_id)
+            out["inter"].append(n_int)
+            out["uni"].append(uni)
+    return pa.table(out, schema=_PAIRS_SCHEMA)
+
+
+def minhash_lsh_pairs(
+    docs: "ray.data.Dataset",
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    token_sets: dict[int, set[int]] | None = None,
+):
+    """shingle → minhash → band → bucket-groupby → verified candidate pairs.
+
+    Default verification is the shuffle-join plan (`_verify_pairs_shuffle`):
+    nothing per-doc is broadcast and nothing corpus-sized touches the driver.
+    Passing ``token_sets`` (doc_id → shingle hashes) selects the legacy
+    broadcast verification — kept for the old-path == new-path equivalence
+    test (tests/test_dedup.py) and for corpora known to fit in one worker.
+    Output columns: (doc_a, doc_b, inter, uni), kept when
+    inter/uni >= threshold exactly (integer comparison).
+    """
+    bands = _band_rows(docs, shingle_n)
+    pairs_table = _candidate_pairs(bands)
+    thr_num = int(jaccard_threshold * 1_000_000)
+
+    if token_sets is None:
+        def shingle_elements(text: str):
+            return [h - (1 << 63)
+                    for h in shingles((text or "").split(), n=shingle_n)]
+
+        return _verify_pairs_shuffle(docs, pairs_table, shingle_elements,
+                                     thr_num=thr_num, thr_den=1_000_000)
+
+    # legacy broadcast verification (small-corpus / equivalence-test path)
+    pairs = ray.data.from_arrow(pairs_table)
+    sets_ref = ray.put(token_sets)
 
     def verify(b: pa.Table) -> pa.Table:
         sets = ray.get(sets_ref)
@@ -152,45 +285,23 @@ def minhash_lsh_pairs(
                 rows["doc_b"].append(b_id)
                 rows["inter"].append(inter)
                 rows["uni"].append(uni)
-        return pa.table({
-            "doc_a": pa.array(rows["doc_a"], pa.int64()),
-            "doc_b": pa.array(rows["doc_b"], pa.int64()),
-            "inter": pa.array(rows["inter"], pa.int64()),
-            "uni": pa.array(rows["uni"], pa.int64()),
-        })
+        return pa.table(rows, schema=_PAIRS_SCHEMA)
 
     return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def _load_token_sets(sf_dir: str, shingle_n: int) -> dict[int, set[int]]:
-    import pyarrow.parquet as pq
-
-    table = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return {
-        d: shingles((x or "").split(), n=shingle_n)
-        for d, x in zip(table.column("doc_id").to_pylist(),
-                        table.column("text").to_pylist())
-    }
 
 
 @register("q_dedup_minhash")  # sketch-based: no SQL oracle (rows-only check)
 def q_dedup_minhash(sf_dir: str):
     docs = t(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(
-        docs, shingle_n=3, jaccard_threshold=0.5,
-        token_sets=_load_token_sets(sf_dir, 3),
-    )
+    return minhash_lsh_pairs(docs, shingle_n=3, jaccard_threshold=0.5)
 
 
 # ---------------------------------------------------------------------------
 # SimHash fingerprints + exact-fingerprint grouping (no SQL oracle)
 # ---------------------------------------------------------------------------
 
-@register("q_dedup_simhash")
-def q_dedup_simhash(sf_dir: str):
+def _simhash_fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     from collections import Counter
-
-    docs = t(sf_dir, "documents", ["doc_id", "text"])
 
     def fp(b: pa.Table) -> pa.Table:
         sims = []
@@ -202,13 +313,103 @@ def q_dedup_simhash(sf_dir: str):
             "simhash": pa.array(sims, pa.int64()),
         })
 
-    fps = docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+    return docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("q_dedup_simhash")
+def q_dedup_simhash(sf_dir: str):
+    docs = t(sf_dir, "documents", ["doc_id", "text"])
+    fps = _simhash_fingerprints(docs)
     # group identical fingerprints → canonical representative per group
     return fps.groupby("simhash").aggregate(Min("doc_id", alias_name="rep_doc_id"))
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard within (lang, source) co-groups — SQL-oracle-checkable
+# SimHash Hamming-ball near-dup: 4x16-bit band tables (VERDICT r01 #4)
+# ---------------------------------------------------------------------------
+
+_SIM_BANDS = 4
+_SIM_BAND_BITS = 16
+_SIM_MAX_HAMMING = _SIM_BANDS - 1  # pigeonhole: ≤3 flipped bits → ≥1 intact band
+
+
+def simhash_hamming_pairs(docs: "ray.data.Dataset",
+                          max_hamming: int = _SIM_MAX_HAMMING):
+    """Near-dup pairs with hamming64(simhash_a, simhash_b) <= max_hamming.
+
+    The standard band-table probe that turns SimHash into an actual near-dup
+    operator: split the 64-bit fingerprint into 4 disjoint 16-bit bands; any
+    pair within Hamming distance 3 matches exactly on at least one band
+    (pigeonhole), so grouping by (band_id, band_bits) has recall 1 for
+    d <= 3.  Verification needs only the two 8-byte fingerprints, which ride
+    along with the band rows — no join, no broadcast; shuffled bytes are
+    4 x 20-ish bytes per doc.
+    """
+    assert max_hamming < _SIM_BANDS, "pigeonhole guarantee needs d < #bands"
+    fps = _simhash_fingerprints(docs)
+
+    def to_bands(b: pa.Table) -> pa.Table:
+        sims = b.column("simhash").to_numpy(zero_copy_only=False)
+        u = sims.astype(np.int64).view(np.uint64)
+        n = len(u)
+        band_bits = np.empty((n, _SIM_BANDS), dtype=np.int64)
+        for i in range(_SIM_BANDS):
+            band_bits[:, i] = ((u >> np.uint64(i * _SIM_BAND_BITS))
+                               & np.uint64(0xFFFF)).astype(np.int64)
+        flat_bits = band_bits.reshape(-1)
+        band_ids = np.tile(np.arange(_SIM_BANDS, dtype=np.int64), n)
+        # coarse bucket-preserving partition, same trick as MinHash banding:
+        # one map_groups call per part, pandas groupby inside for the buckets
+        part = ((band_ids << 16) | flat_bits) % _N_PARTS
+        return pa.table({
+            "doc_id": pa.array(np.repeat(
+                b.column("doc_id").to_numpy(zero_copy_only=False), _SIM_BANDS)),
+            "band_id": pa.array(band_ids.astype(np.int32)),
+            "band_bits": pa.array(flat_bits),
+            "part": pa.array(part.astype(np.int32)),
+            "simhash": pa.array(np.repeat(sims, _SIM_BANDS)),
+        })
+
+    bands = fps.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated(["band_id", "band_bits"], keep=False)]
+        out = {"doc_a": [], "doc_b": [], "hamming": []}
+        for _, grp in dup.groupby(["band_id", "band_bits"], sort=False):
+            # a doc emits exactly one row per band_id → ids are distinct here
+            ids = grp["doc_id"].to_numpy()
+            sims = grp["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+            order = np.argsort(ids)
+            ids, sims = ids[order], sims[order]
+            # bucket-local pairwise Hamming: xor matrix + vectorized popcount
+            x = sims[:, None] ^ sims[None, :]
+            h = np.zeros_like(x, dtype=np.int64)
+            while True:
+                h += (x & np.uint64(1)).astype(np.int64)
+                x = x >> np.uint64(1)
+                if not x.any():
+                    break
+            ia, ib = np.where(np.triu(h <= max_hamming, k=1))
+            out["doc_a"].extend(ids[ia].tolist())
+            out["doc_b"].extend(ids[ib].tolist())
+            out["hamming"].extend(h[ia, ib].tolist())
+        return pd.DataFrame(out, dtype="int64")
+
+    pairs = bands.groupby("part").map_groups(part_pairs, batch_format="pandas")
+    # a pair can match in several bands → dedup, keeping min observed hamming
+    # (identical in every band, but Min keeps the schema honest)
+    deduped = grouped_agg(pairs, ["doc_a", "doc_b"], [("hamming", "min", "hamming")])
+    return deduped
+
+
+@register("q_dedup_simhash_hamming")  # sketch-based: rows-only driver check
+def q_dedup_simhash_hamming(sf_dir: str):
+    docs = t(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_hamming_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard — LSH-prefiltered, SQL-oracle-checkable
 # ---------------------------------------------------------------------------
 
 @register(
@@ -239,43 +440,90 @@ def q_dedup_simhash(sf_dir: str):
 def q_dedup_ngram_jaccard(sf_dir: str):
     """Unigram-set Jaccard >= 0.9 between docs of the same (lang, source).
 
-    The co-group is the documented partitioning assumption: pairwise work is
-    bounded per (lang, source) partition, and the exact integer comparison
-    ``10*inter >= 9*uni`` is float-free on both engines.
+    Round-2 plan (VERDICT r01 #3): candidates come from the MinHash banding
+    machinery over unigram shingles, bucketed by (lang, source, band),
+    so per-bucket pairwise work replaces the old all-pairs-per-co-group
+    O(n^2).  At threshold 0.9 the 32x4 banding's per-pair miss probability
+    is (1 - 0.9^4)^32 ≈ 1.3e-15 — deterministic seeded hashing makes the
+    outcome fixed, and the DuckDB oracle equality at sf0.01 pins it.
+    Exact verification runs on the token *strings* via the same shuffle-join
+    plan as MinHash (`_verify_pairs_shuffle`, elements = hashed-to-int64
+    token identities are NOT enough for oracle exactness, so elements are
+    blake2b-64 of the token — collision probability over a doc's vocabulary
+    is ~|V|^2 / 2^64, negligible and fixed), then the doc pair is restricted
+    to equal (lang, source) by the bucket keys themselves.
     """
     docs = t(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].tolist()
-        sets = [set((x or "").split()) for x in g["text"].tolist()]
-        order = sorted(range(len(ids)), key=lambda i: ids[i])
-        rows = {"doc_a": [], "doc_b": [], "inter": [], "uni": []}
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                i, j = order[ii], order[jj]
-                inter = len(sets[i] & sets[j])
-                uni = len(sets[i] | sets[j])
-                if uni and 10 * inter >= 9 * uni:
-                    rows["doc_a"].append(ids[i])
-                    rows["doc_b"].append(ids[j])
-                    rows["inter"].append(inter)
-                    rows["uni"].append(uni)
-        return pd.DataFrame(rows, dtype="int64")
+    bands = _band_rows(docs, shingle_n=1, group_cols=("lang", "source"))
+    pairs_table = _candidate_pairs(bands, group_cols=("lang", "source"))
 
-    return docs.groupby(["lang", "source"]).map_groups(
-        group_pairs, batch_format="pandas")
+    def token_elements(text: str):
+        return [stable_hash64(tok) - (1 << 63)
+                for tok in set((text or "").split())]
+
+    return _verify_pairs_shuffle(docs, pairs_table, token_elements,
+                                 thr_num=9, thr_den=10)
 
 
 # ---------------------------------------------------------------------------
-# embedding-cosine near-dup within label co-groups (no SQL oracle: the exact
-# pairwise float comparison is verified by tests/test_dedup.py instead)
+# embedding-cosine near-dup, hyperplane-LSH-bucketed within label co-groups
+# (no SQL oracle: the exact pairwise float comparison is verified by
+# tests/test_dedup.py instead)
 # ---------------------------------------------------------------------------
+
+_EMB_TABLES = 12
+_EMB_BITS = 8
+
+
+def _emb_planes(dim: int) -> np.ndarray:
+    rng = np.random.RandomState(0xE1B)
+    return rng.standard_normal((_EMB_TABLES, _EMB_BITS, dim))
+
 
 @register("q_dedup_embedding")
 def q_dedup_embedding(sf_dir: str, threshold: float = 0.99):
+    """cosine >= threshold pairs within each label.
+
+    Round-2 plan (VERDICT r01 #3): within each label, vectors are bucketed
+    by 12 tables x 8 random-hyperplane bits; exact cosine runs only inside
+    (label, table, bucket) buckets, so per-group work is bounded by bucket
+    size instead of label-co-group size.  At threshold 0.99 (angle ≈ 8.1°)
+    the per-table collision probability is (1 - θ/π)^8 ≈ 0.69, so the
+    12-table miss probability per true pair is (1-0.69)^12 ≈ 8e-7 — fixed
+    by the seeded planes.  Pairs found in several tables dedup exactly on
+    (vec_a, vec_b) keeping the identical cos_milli.
+    """
     emb = t(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def to_buckets(b: pa.Table) -> pa.Table:
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        dim = int(offsets[1] - offsets[0])
+        mat = flat.reshape(len(b), dim)
+        planes = _emb_planes(dim)
+        proj = np.einsum("nd,lkd->nlk", mat, planes)
+        bits = proj > 0
+        weights = 1 << np.arange(_EMB_BITS)
+        buckets = (bits * weights[None, None, :]).sum(axis=2).astype(np.int64)
+        n = len(b)
+        row_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), _EMB_TABLES))
+        return pa.table({
+            "vec_id": b.column("vec_id").take(row_idx),
+            "label": b.column("label").take(row_idx),
+            "embedding": col.take(row_idx),
+            "table_id": pa.array(np.tile(
+                np.arange(_EMB_TABLES, dtype=np.int32), n)),
+            "bucket": pa.array(buckets.reshape(-1)),
+        })
+
+    bucketed = emb.map_batches(to_buckets, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.asarray(g["vec_id"].tolist(), dtype=np.int64)
         mat = np.asarray([np.asarray(v, dtype=np.float64)
                           for v in g["embedding"].tolist()])
@@ -285,11 +533,20 @@ def q_dedup_embedding(sf_dir: str, threshold: float = 0.99):
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
         cos = unit @ unit.T
-        ai, bi = np.where(np.triu(cos >= threshold, k=1))
+        keep = np.triu(cos >= threshold, k=1)
+        # the same vec_id can appear once per table; mask self-pairs
+        keep &= ids[:, None] != ids[None, :]
+        ai, bi = np.where(keep)
         return pd.DataFrame({
             "vec_a": ids[ai],
             "vec_b": ids[bi],
             "cos_milli": np.floor(cos[ai, bi] * 1000 + 0.5).astype(np.int64),
         })
 
-    return emb.groupby("label").map_groups(group_pairs, batch_format="pandas")
+    pairs = bucketed.groupby(["label", "table_id", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    # a true pair appears in ~all tables → dedup on (vec_a, vec_b); cos_milli
+    # is identical across tables (same float inputs), Min keeps schema honest
+    return ray.data.from_arrow(
+        grouped_agg(pairs, ["vec_a", "vec_b"], [("cos_milli", "min", "cos_milli")])
+    )
