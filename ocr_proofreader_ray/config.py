@@ -25,7 +25,10 @@ class ExtractionConfig:
 
     # parallelism / batching
     correct_batch_size: int = 128
-    correct_concurrency: tuple[int, int] | int | None = None  # None → (8, ncpu)
+    # None → fixed (ncpu-2, ncpu-2) pool on wide hosts (≥16 CPUs; 2 CPUs
+    # stay free to feed/drain the pool), autoscaling (ncpu-1, ncpu) when
+    # narrow — see pipelines/extraction.py run_pass2_chunk
+    correct_concurrency: tuple[int, int] | int | None = None
     extract_num_cpus: float = 1.0
 
     # skew handling (SURVEY.md §2 A2): whales isolate into their own blocks

@@ -154,9 +154,13 @@ def parse_html_stdlib(html: bytes | str) -> _Node:
 # per-token Python callbacks we don't need (attributes are never read).
 # This tokenizer recognizes just enough HTML — comments, doctype, raw-text
 # elements (script/style), start/end/self-closing tags, entity-bearing text
-# — and feeds the same tolerant tree-building rules.  Measured ~3x faster;
-# byte-identical output verified against parse_html_stdlib over every
-# generated fixture page including the malformed cases.
+# — and feeds the same tolerant tree-building rules.  Measured ~3x faster.
+# Equivalence contract (the tested one): EXTRACTED TEXT of the winning
+# candidate is byte-identical to parse_html_stdlib over every generated
+# fixture page including the malformed cases.  The parse TREES may differ
+# on inputs outside that contract: textarea/title are treated as raw text
+# (RCDATA, per the HTML spec) while html.parser parses tags inside them,
+# and unterminated comments swallow to EOF here (also spec behavior).
 
 import re
 

@@ -167,6 +167,18 @@ def build_dictionary(cfg: ExtractionConfig) -> str:
         agg = grouped_agg(counts, ["lang", "token"],
                           [("count", "sum", "freq")])
         agg = agg.filter(pc.greater_equal(agg.column("freq"), min_count))
+        if cfg.dict_top_k is not None:
+            # apply the top-k policy ON ARROW, per language, BEFORE any
+            # Python-object materialization (ADVICE r01: to_pylist of up to
+            # 20M rows cost GBs of driver RSS with top_k applied only after)
+            parts = [
+                _topk_per_lang(
+                    agg.filter(pc.equal(agg.column("lang"), lang)),
+                    cfg.dict_top_k)
+                for lang in pc.unique(agg.column("lang")).to_pylist()
+            ]
+            agg = (pa.concat_tables(parts) if parts
+                   else agg)  # empty input: keep the (empty) schema
         lang_dicts: dict[str, dict[str, int]] = {}
         for lang, token, freq in zip(agg.column("lang").to_pylist(),
                                      agg.column("token").to_pylist(),

@@ -26,12 +26,15 @@ PDF_BATCH_SIZE = 64  # payload-heavy rows: keep actor batches small
 
 @register(
     "q_pdf_layout",
-    sql="""
+    sql=r"""
     WITH base AS (
+        -- token count = whitespace RUNS (len of regexp matches), exactly
+        -- Python str.split(): empty text -> 0 tokens, multi-space collapses
+        -- (ADVICE r01: the old spaces+1 formula diverged on those inputs)
         SELECT doc_id,
-               length(text) - length(replace(text, ' ', '')) + 1 AS n_toks,
-               CAST(ceil((length(text) - length(replace(text, ' ', '')) + 1)
-                         / 12.0) AS INTEGER) AS n_paras
+               len(regexp_extract_all(text, '\S+')) AS n_toks,
+               CAST(ceil(len(regexp_extract_all(text, '\S+')) / 12.0)
+                    AS INTEGER) AS n_paras
         FROM documents
     )
     SELECT doc_id,

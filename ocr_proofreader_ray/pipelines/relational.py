@@ -372,7 +372,7 @@ def q_order_priority_revenue(sf_dir: str):
     li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
     orders = t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = shuffle_join(li, orders, on=("l_orderkey",),
-                          right_on=("o_orderkey",), num_partitions=16)
+                          right_on=("o_orderkey",))
     return grouped_agg(joined, ["o_orderpriority"], [
         ("rev_ucents", "sum", "revenue_ucents"),
         (None, "count", "n_items"),

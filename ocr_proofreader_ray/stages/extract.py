@@ -33,9 +33,11 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     The wide ``html`` binary column is dropped here — nothing downstream
     (shuffles included) ever moves raw HTML again.
     """
-    htmls = batch.column("html")
-    texts = [extract_main_text(h.as_py() or b"") for h in htmls]
-    sizes = [len(h.as_py() or b"") for h in htmls]
+    # single binary->Python conversion pass (VERDICT r01 #6: the previous
+    # per-element as_py() in two comprehensions copied every page twice)
+    htmls = batch.column("html").to_pylist()
+    texts = [extract_main_text(h or b"") for h in htmls]
+    sizes = [len(h) if h is not None else 0 for h in htmls]
     return pa.table(
         {
             "url": batch.column("url"),

@@ -134,12 +134,19 @@ class DecodeStage:
                     raise
                 w = h = frames = 0
                 body = np.zeros(1, np.uint8)
+            true_len = len(body)
+            if true_len == 0:
+                # empty decoded body (e.g. 0-byte FAKE payload from an empty
+                # document): mean()/std() of an empty array is NaN + a numpy
+                # RuntimeWarning — substitute a zero byte like ThumbnailStage
+                # does; body_bytes still reports the true (0) length
+                body = np.zeros(1, np.uint8)
             ws.append(w)
             hs.append(h)
             frs.append(frames)
             means.append(float(body.mean()))
             stds.append(float(body.std()))
-            n_bytes.append(len(body))
+            n_bytes.append(true_len)
             self.decoded += 1
         out = batch.drop_columns(["payload"])  # payload dies here: memory
         return (out
