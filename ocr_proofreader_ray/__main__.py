@@ -42,6 +42,7 @@ def cmd_extract(args) -> int:
         input_paths=args.input,
         work_dir=args.work_dir,
         files_per_chunk=args.files_per_chunk,
+        fix_log_path=args.fix_log,
     )
     ds = run_extraction(cfg)
     print(json.dumps({"rows": ds.count(), "out_dir": cfg.out_dir,
@@ -105,6 +106,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--work-dir", required=True)
     p.add_argument("--files-per-chunk", type=int, default=64)
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--fix-log", default=None,
+                   help="parquet of accepted (lang, token, replacement) "
+                        "corrections applied as an override layer")
     p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("build-dict", help="pass 1 + dictionary only")

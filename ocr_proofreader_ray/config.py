@@ -23,6 +23,10 @@ class ExtractionConfig:
     dict_min_count: int = 8
     dict_top_k: int | None = 50_000
 
+    # persistent fix-log (state/fixlog.py): accepted corrections applied as
+    # an override layer in pass 2; None → no overrides
+    fix_log_path: str | None = None
+
     # parallelism / batching
     correct_batch_size: int = 128
     # None → fixed (ncpu-2, ncpu-2) pool on wide hosts (≥16 CPUs; 2 CPUs

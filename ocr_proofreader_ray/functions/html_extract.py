@@ -207,9 +207,21 @@ def parse_html(html: bytes | str) -> _Node:
         if tag is None:
             continue  # comment / doctype / CDATA
         tag = tag.lower()
+        # self-closing detection: the greedy attr group swallows a trailing
+        # "/" (it matches [^>"']), so group(4) alone misses e.g. <br/> and
+        # <circle r='1'/>.  Recover it when the "/" terminates the attr run
+        # after whitespace or a quote — matching html.parser, which parses
+        # <div a=1/> as a START tag with value "1/" but <div a='1'/> as
+        # self-closing (found by the hand-written golden corpus: a start-tag
+        # misread inside a dropped <svg> leaked drop-depth and swallowed
+        # the rest of the document).
+        attrs_text = m.group(3) or ""
+        selfclose = bool(m.group(4)) or (
+            attrs_text.endswith("/")
+            and (len(attrs_text) == 1 or attrs_text[-2] in " \t\r\n\"'"))
         if m.group(1):  # end tag
             builder.handle_endtag(tag)
-        elif m.group(4):  # self-closing
+        elif selfclose:  # self-closing
             builder.handle_startendtag(tag, ())
         else:
             builder.handle_starttag(tag, ())

@@ -98,8 +98,13 @@ class SpellCorrector:
     # memory at crawl scale; beyond the cap tokens are computed uncached)
     TOKEN_CACHE_MAX = 1_000_000
 
-    def __init__(self, freqs: dict[str, int]):
+    def __init__(self, freqs: dict[str, int],
+                 overrides: dict[str, str] | None = None):
         self.freqs = freqs
+        # fix-log override layer (state/fixlog.py): lowercase core ->
+        # lowercase replacement core, authoritative over garbage filter,
+        # dictionary lookup and candidate ranking
+        self.overrides = overrides or {}
         self._cache: dict[str, str | None] = {}
         # memo of the FULL per-token policy — transform_token is a pure
         # function of (token, frozen dict) and corpora repeat surface forms
@@ -148,6 +153,16 @@ class SpellCorrector:
         return out
 
     def _transform_token_uncached(self, token: str) -> str | None:
+        if self.overrides:
+            prefix, core, suffix = _split_affixes(token)
+            if core:
+                rep = self.overrides.get(core.lower())
+                if rep is not None:
+                    # logged decision wins over garbage filter + dictionary;
+                    # replacement == token pins the surface form verbatim
+                    if rep == core.lower():
+                        return token
+                    return prefix + _match_case(core, rep) + suffix
         if is_garbage(token):
             return None
         prefix, core, suffix = _split_affixes(token)

@@ -96,8 +96,9 @@ class _ExtractStage:
 
 
 class _CorrectorStage(Corrector):
-    def __init__(self, dict_path: str, lineage_name: str | None, chunk_id: int):
-        super().__init__(dict_path)
+    def __init__(self, dict_path: str, lineage_name: str | None, chunk_id: int,
+                 fix_log_path: str | None = None):
+        super().__init__(dict_path, fix_log_path=fix_log_path)
         self.lineage_name = lineage_name
         self.chunk_id = chunk_id
 
@@ -249,7 +250,8 @@ def run_pass2_chunk(cfg: ExtractionConfig, chunk_id: int,
             concurrency = (max(1, ncpu - 1), max(2, ncpu))
     ds = ds.map_batches(
         _CorrectorStage,
-        fn_constructor_args=(cfg.dict_path, lineage_name, chunk_id),
+        fn_constructor_args=(cfg.dict_path, lineage_name, chunk_id,
+                             cfg.fix_log_path),
         batch_format="pyarrow",
         batch_size=cfg.correct_batch_size,
         concurrency=concurrency,
@@ -351,12 +353,14 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
     if dict_needed:
         build_dictionary(cfg)
 
-    # Pass-2 outputs depend on BOTH the chunk's input and the frozen
-    # dictionary: a dictionary rebuild (triggered by any changed/new pass-1
-    # chunk) must invalidate every pass-2 chunk whose corrections could
-    # differ, or resumed outputs would no longer be byte-identical to a
-    # fresh run.  The fingerprint therefore covers input files + dict file.
+    # Pass-2 outputs depend on the chunk's input, the frozen dictionary AND
+    # the fix-log: a dictionary rebuild (triggered by any changed/new pass-1
+    # chunk) or an edited fix-log must invalidate every pass-2 chunk whose
+    # corrections could differ, or resumed outputs would no longer be
+    # byte-identical to a fresh run.  The fingerprint covers all three.
     dict_fp = mstate.fingerprint_content(cfg.dict_path)
+    if cfg.fix_log_path:
+        dict_fp += ":" + mstate.fingerprint_content(cfg.fix_log_path)
     for chunk_id, chunk_files in enumerate(chunks):
         fp = mstate.fingerprint_files(chunk_files) + ":" + dict_fp
         if m2.completed(chunk_id, fp):

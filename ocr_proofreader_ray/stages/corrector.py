@@ -52,11 +52,20 @@ class Corrector:
     size (BASELINE.json north_rule).
     """
 
-    def __init__(self, dict_path: str):
+    def __init__(self, dict_path: str, fix_log_path: str | None = None):
+        from ocr_proofreader_ray.state.fixlog import load_fixlog
+
         self._dicts = load_dicts(dict_path)
+        # fix-log override layer (state/fixlog.py): read once per actor from
+        # shared storage, same distribution path as the dictionary
+        fixes = load_fixlog(fix_log_path)
         self._correctors = {
-            lang: SpellCorrector(freqs) for lang, freqs in self._dicts.items()
+            lang: SpellCorrector(freqs, overrides=fixes.get(lang))
+            for lang, freqs in self._dicts.items()
         }
+        for lang in fixes:  # overrides for langs absent from the dictionary
+            if lang not in self._correctors:
+                self._correctors[lang] = SpellCorrector({}, overrides=fixes[lang])
         self._empty = SpellCorrector({})
 
     def correct_one(self, lang: str, raw_text: str) -> tuple[str, int, int]:
