@@ -22,7 +22,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_ROOT = "/tmp/opr_bench"
+# override with GRAFT_BENCH_ROOT=/dev/shm/opr_bench for the tmpfs A/B that
+# separates disk bandwidth from CPU in the scaling attribution (BASELINE.md)
+BENCH_ROOT = os.environ.get("GRAFT_BENCH_ROOT", "/tmp/opr_bench")
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -112,8 +114,11 @@ def run_bench() -> dict:
 
     work_dir = f"{BENCH_ROOT}/work_{NUM_CPUS}"
     shutil.rmtree(work_dir, ignore_errors=True)
-    cfg = ExtractionConfig(input_paths=pages_glob, work_dir=work_dir,
-                           files_per_chunk=0)
+    # GRAFT_CORRECT_POOL=N pins the corrector pool width (scaling A/B knob)
+    pool = os.environ.get("GRAFT_CORRECT_POOL")
+    cfg = ExtractionConfig(
+        input_paths=pages_glob, work_dir=work_dir, files_per_chunk=0,
+        correct_concurrency=(int(pool), int(pool)) if pool else None)
     t0 = time.time()
     run_extraction(cfg)
     headline = time.time() - t0
@@ -131,13 +136,18 @@ def run_bench() -> dict:
     assert n_out == n_docs, (n_out, n_docs)
 
     queries = {}
-    qreg = all_queries()
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        consume(qreg[name](SF_DIR))
-        queries[name] = round(time.time() - t0, 3)
+    if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        qreg = all_queries()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            consume(qreg[name](SF_DIR))
+            queries[name] = round(time.time() - t0, 3)
 
     ray.shutdown()
+    try:
+        stages = _json.load(open(f"{work_dir}/timings.json"))
+    except OSError:
+        stages = {}
     return {
         "metric": "extraction_pipeline_sec",
         "value": round(headline, 3),
@@ -148,6 +158,7 @@ def run_bench() -> dict:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
         "html_mb_per_sec": round(html_bytes / 1e6 / headline, 2),
+        "stages": stages,
     }
 
 
@@ -187,8 +198,18 @@ def hardware_ceiling(lo: int, hi: int) -> dict:
 
 
 def run_scaling() -> dict:
-    def run(ncpu: int) -> dict:
+    """8-vs-32-CPU scaling evidence (substitute for the N→4N-node rule).
+
+    Legs run INTERLEAVED (lo, hi, lo, hi) in fresh processes and each CPU
+    count keeps its best (min-time) leg: this VM's wall-clock noise is
+    ±30-40% in bursts (see BASELINE.md), so a single pair of legs can land
+    one leg inside a noise window and corrupt the ratio in either
+    direction; interleaving + best-of-2 measures the pipeline, not the
+    host's weather.  Per-stage splits ride along for attribution."""
+    def run(ncpu: int, skip_queries: bool = True) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        if skip_queries:
+            env["GRAFT_SKIP_QUERIES"] = "1"
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -196,7 +217,12 @@ def run_scaling() -> dict:
 
     lo, hi = 8, 32
     hw = hardware_ceiling(lo, hi)
-    r_lo, r_hi = run(lo), run(hi)
+    legs: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(2):
+        legs[lo].append(run(lo))
+        legs[hi].append(run(hi))
+    r_lo = min(legs[lo], key=lambda r: r["value"])
+    r_hi = min(legs[hi], key=lambda r: r["value"])
     thr_lo = r_lo["docs_per_sec"]
     thr_hi = r_hi["docs_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
@@ -206,8 +232,12 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "sec_8": r_lo["value"],
         "sec_32": r_hi["value"],
+        "sec_8_legs": [r["value"] for r in legs[lo]],
+        "sec_32_legs": [r["value"] for r in legs[hi]],
         "docs_per_sec_8": thr_lo,
         "docs_per_sec_32": thr_hi,
+        "stages_8": r_lo.get("stages", {}),
+        "stages_32": r_hi.get("stages", {}),
         "hw_ceiling": hw["ceiling"],
         "normalized_efficiency": round(eff / hw["ceiling"], 3) if hw["ceiling"] else None,
         "hw_burn": hw,

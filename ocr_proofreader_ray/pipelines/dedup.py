@@ -211,14 +211,18 @@ def _verify_pairs_shuffle(
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "el": pa.array(els, pa.int64())})
 
+    # materialize ONCE: the element rows feed three consumers (sizes + both
+    # joins) and would otherwise re-read + re-explode the docs table per
+    # consumer; volume is bounded by candidate-set elements (object-store
+    # blocks, spillable), never the corpus
     elements = cand_docs.map_batches(explode, batch_format="pyarrow",
-                                     zero_copy_batch=True)
+                                     zero_copy_batch=True).materialize()
 
     sizes = grouped_agg(elements, ["doc_id"], [(None, "count", "sz")])
 
     pairs_ds = ray.data.from_arrow(pairs_table)
     a_side = shuffle_join(pairs_ds, elements,
-                          on=("doc_a",), right_on=("doc_id",))
+                          on=("doc_a",), right_on=("doc_id",)).materialize()
     inter_rows = shuffle_join(a_side, elements,
                               on=("doc_b", "el"), right_on=("doc_id", "el"))
     inter = grouped_agg(inter_rows, ["doc_a", "doc_b"],

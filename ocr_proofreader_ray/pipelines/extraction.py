@@ -118,10 +118,11 @@ class _CorrectorStage(Corrector):
 # --------------------------------------------------------------------------
 
 def run_pass1_chunk(cfg: ExtractionConfig, chunk_id: int, files: list[str],
-                    lineage_name: str | None) -> None:
+                    lineage_name: str | None) -> dict:
     raw_final = f"{cfg.raw_dir}/chunk-{chunk_id:05d}"
     counts_final = f"{cfg.counts_dir}/chunk-{chunk_id:05d}"
 
+    t0 = time.time()
     raw_tmp, commit_raw = mstate.atomic_output(raw_final)
     ds = ray.data.read_parquet(files, columns=["url", "html", "lang"])
     ds = ds.map_batches(
@@ -133,9 +134,11 @@ def run_pass1_chunk(cfg: ExtractionConfig, chunk_id: int, files: list[str],
     )
     ds.write_parquet(raw_tmp, compression="zstd")  # ~30% fewer bytes than snappy, no slower
     commit_raw()
+    t_extract = time.time() - t0
 
     # token partials from the (much smaller) raw text we just wrote — HTML is
     # parsed exactly once even though the pipeline is two-pass
+    t0 = time.time()
     counts_tmp, commit_counts = mstate.atomic_output(counts_final)
     raw = ray.data.read_parquet(raw_final, columns=["lang", "raw_text"])
     raw.map_batches(
@@ -143,6 +146,8 @@ def run_pass1_chunk(cfg: ExtractionConfig, chunk_id: int, files: list[str],
         zero_copy_batch=True,
     ).write_parquet(counts_tmp, compression="zstd")
     commit_counts()
+    return {"extract_write_sec": round(t_extract, 3),
+            "tokenize_write_sec": round(time.time() - t0, 3)}
 
 
 def _topk_per_lang(group: pa.Table, top_k: int) -> pa.Table:
@@ -237,17 +242,16 @@ def run_pass2_chunk(cfg: ExtractionConfig, chunk_id: int,
     concurrency = cfg.correct_concurrency
     if concurrency is None:
         ncpu = int(ray.cluster_resources().get("CPU", 4))
-        if ncpu >= 16:
-            # wide pools: prestart a fixed ncpu-2 pool (autoscale ramp costs
-            # several seconds of idle actors; 2 CPUs stay free for the read
-            # and write tasks that feed/drain the pool — a full-width pool
-            # starves them, observed as a deadlock-like stall)
-            w = ncpu - 2
-            concurrency = (w, w)
-        else:
-            # narrow pools are compute-bound: give the pool all-but-one CPU
-            # and let it autoscale to full width under backlog
-            concurrency = (max(1, ncpu - 1), max(2, ncpu))
+        # Fixed prestarted pool of ncpu - max(2, ncpu/8): the reserved CPUs
+        # run the read + LPT + write TASKS that feed and drain the pool.
+        # Measured at sf0.1 (2M pages, round 2): reserving only 2 CPUs at 32
+        # starves those tasks — pass-2 31.9s with a 30-actor pool vs 16.0s
+        # with 28 and 15.5s with 24; at 8 CPUs a fixed (6,6) pool beats the
+        # old (7,8) autoscale 45.7s vs 52.6s (autoscale ramp also idles
+        # ~45% of pool-seconds).  A tmpfs-vs-disk A/B at 32 CPUs was a wash
+        # (57.0s both), so the reserve is about CPU slots, not disk.
+        w = max(1, ncpu - max(2, ncpu // 8))
+        concurrency = (w, w)
     ds = ds.map_batches(
         _CorrectorStage,
         fn_constructor_args=(cfg.dict_path, lineage_name, chunk_id,
@@ -267,42 +271,55 @@ def run_pass2_chunk(cfg: ExtractionConfig, chunk_id: int,
 # --------------------------------------------------------------------------
 
 @ray.remote(num_cpus=1)
+def _col_sum(d: str, col: str) -> int:
+    """Sum one int64 column across a committed chunk directory."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    total = 0
+    for f in os.listdir(d):
+        if f.endswith(".parquet"):
+            t = _pq.read_table(f"{d}/{f}", columns=[col])
+            total += int(_pc.sum(t.column(col)).as_py() or 0)
+    return total
+
+
 def _chunk_counters(raw_dir: str, out_dir: str | None,
                     input_rows: int) -> dict:
     """Exact per-chunk, per-stage counters derived from the COMMITTED
     parquet outputs — facts about data on disk, not messages racing the
-    execution.  Row counts come from footer metadata; byte counts are
-    single-int64-column sums.  Runs as one Ray task per chunk so the driver
-    never scans data itself (parallelizable across chunks at crawl scale)."""
-    import pyarrow.compute as _pc
+    execution.  Row counts come from footer metadata (driver-cheap); the
+    three column sums run as PARALLEL Ray tasks — the old single serial
+    task cost a fixed ~3.4s per bench run at any CPU count, a pure
+    scaling-efficiency tax on the 32-CPU leg."""
     import pyarrow.parquet as _pq
 
     def rows_of(d: str) -> int:
         return sum(_pq.read_metadata(f"{d}/{f}").num_rows
                    for f in os.listdir(d) if f.endswith(".parquet"))
 
-    def col_sum(d: str, col: str) -> int:
-        total = 0
-        for f in os.listdir(d):
-            if f.endswith(".parquet"):
-                t = _pq.read_table(f"{d}/{f}", columns=[col])
-                total += int(_pc.sum(t.column(col)).as_py() or 0)
-        return total
+    refs = [_col_sum.remote(raw_dir, "html_bytes"),
+            _col_sum.remote(raw_dir, "n_chars")]
+    with_out = out_dir is not None and os.path.isdir(out_dir)
+    if with_out:
+        refs.append(_col_sum.remote(out_dir, "n_chars"))
+    raw_rows = rows_of(raw_dir)
+    sums = ray.get(refs)
 
     counters = {
         "extract": {
             "rows_in": input_rows,
-            "rows_out": rows_of(raw_dir),
-            "bytes_in": col_sum(raw_dir, "html_bytes"),
-            "bytes_out": col_sum(raw_dir, "n_chars"),
+            "rows_out": raw_rows,
+            "bytes_in": sums[0],
+            "bytes_out": sums[1],
         }
     }
-    if out_dir is not None and os.path.isdir(out_dir):
+    if with_out:
         counters["correct"] = {
-            "rows_in": counters["extract"]["rows_out"],
+            "rows_in": raw_rows,
             "rows_out": rows_of(out_dir),
-            "bytes_in": counters["extract"]["bytes_out"],
-            "bytes_out": col_sum(out_dir, "n_chars"),
+            "bytes_in": sums[1],
+            "bytes_out": sums[2],
         }
     return counters
 
@@ -335,8 +352,10 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
                      chunk_files: list[str]) -> dict:
         raw_dir = f"{cfg.raw_dir}/chunk-{chunk_id:05d}"
         out_dir = f"{cfg.out_dir}/chunk-{chunk_id:05d}" if with_pass2 else None
-        return ray.get(_chunk_counters.remote(
-            raw_dir, out_dir, chunk_rows(chunk_files)))
+        return _chunk_counters(raw_dir, out_dir, chunk_rows(chunk_files))
+
+    timings = {"pass1_sec": 0.0, "dict_sec": 0.0, "pass2_sec": 0.0,
+               "counters_sec": 0.0, "pass1_stages": {}, }
 
     dict_needed = not os.path.exists(cfg.dict_path)
     for chunk_id, chunk_files in enumerate(chunks):
@@ -344,14 +363,22 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
         if m1.completed(chunk_id, fp):
             continue
         t0 = time.time()
-        run_pass1_chunk(cfg, chunk_id, chunk_files, lineage_name)
+        stage_t = run_pass1_chunk(cfg, chunk_id, chunk_files, lineage_name)
+        tc = time.time()
         m1.record_done(chunk_id, fp, chunk_files,
                        counters_for(chunk_id, False, chunk_files),
-                       time.time() - t0)
+                       time.time() - t0, extra={"stage_sec": stage_t})
+        timings["counters_sec"] += time.time() - tc
+        timings["pass1_sec"] += time.time() - t0
+        for k, v in stage_t.items():
+            timings["pass1_stages"][k] = round(
+                timings["pass1_stages"].get(k, 0.0) + v, 3)
         dict_needed = True  # counts changed → rebuild dictionary
 
     if dict_needed:
+        t0 = time.time()
         build_dictionary(cfg)
+        timings["dict_sec"] = time.time() - t0
 
     # Pass-2 outputs depend on the chunk's input, the frozen dictionary AND
     # the fix-log: a dictionary rebuild (triggered by any changed/new pass-1
@@ -367,9 +394,21 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
             continue
         t0 = time.time()
         run_pass2_chunk(cfg, chunk_id, lineage_name)
+        tc = time.time()
         m2.record_done(chunk_id, fp, chunk_files,
                        counters_for(chunk_id, True, chunk_files),
                        time.time() - t0)
+        timings["counters_sec"] += time.time() - tc
+        timings["pass2_sec"] += time.time() - t0
+
+    # per-stage wall-time split for the scaling analysis (BASELINE.md):
+    # facts about where the time went, written next to the manifests
+    for k in ("pass1_sec", "dict_sec", "pass2_sec", "counters_sec"):
+        timings[k] = round(timings[k], 3)
+    with open(os.path.join(cfg.work_dir, "timings.json"), "w") as f:
+        import json as _json
+
+        _json.dump(timings, f, indent=1)
 
     if lineage_handle is not None:
         ray.kill(lineage_handle)
