@@ -379,6 +379,51 @@ def q_order_priority_revenue(sf_dir: str):
     ])
 
 
+@register(
+    "q_urgent_order_revenue",
+    sql="""
+    SELECT CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_ucents,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def q_urgent_order_revenue(sf_dir: str):
+    """Selective fact-fact join with a Bloom prefilter (B7 scale path).
+
+    Orders shrink ~5x under the priority predicate, so a fixed-size Bloom
+    over the surviving order keys drops ~80% of lineitem rows BEFORE the
+    exchange (ops/join.py bloom_prefilter; false positives are resolved by
+    the exact per-partition Arrow join, so the DuckDB oracle pins bit-exact
+    results).  This is the broadcast_semi_anti fallback for key sets too
+    large to ship exactly."""
+    li = t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "rev_ucents": to_units(r, 10000)})
+
+    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    orders = t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderpriority"),
+                                    pa.scalar("1-URGENT"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = shuffle_join(li, orders, on=("l_orderkey",),
+                          right_on=("o_orderkey",), bloom_prefilter=True)
+    # grouped on the constant priority column, then projected away → the
+    # combiner aggregate machinery handles the keyless-global case too
+    tab = grouped_agg(joined, ["o_orderpriority"], [
+        ("rev_ucents", "sum", "revenue_ucents"),
+        (None, "count", "n_items"),
+    ])
+    return tab.select(["revenue_ucents", "n_items"])
+
+
 # ---------------------------------------------------------------------------
 # B8 — semi / anti join
 # ---------------------------------------------------------------------------
