@@ -21,9 +21,8 @@ import ray.data
 from ocr_proofreader_ray.ops.agg import grouped_agg
 from ocr_proofreader_ray.pipelines.registry import register
 from ocr_proofreader_ray.stages.media import (
-    DecodeStage,
     FrameSampleStage,
-    ThumbnailStage,
+    ImageFeatureStage,
     synthesize_media_batch,
 )
 
@@ -72,27 +71,20 @@ def q_media_metadata(sf_dir: str):
 
 @register("q_image_features")  # stubbed codec: rows-only driver check
 def q_image_features(sf_dir: str):
-    """Full actor-pool decode + thumbnail over image-kind media."""
+    """Fused decode + thumbnail over image-kind media: ONE synthesized
+    payload pass, ONE decode per item (VERDICT r01 #6 fixed the previous
+    double synthesis)."""
     ds = media_dataset(sf_dir)
     ds = ds.map_batches(
         lambda b: b.filter(pc.equal(b.column("kind"), "image")),
         batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(
-        ThumbnailStage, fn_constructor_args=(8,),
+        ImageFeatureStage, fn_constructor_args=(8, True),
         batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE,
         concurrency=(1, 4), num_cpus=1)
-    # second synthesized payload pass feeds the decoder (payload was dropped
-    # by the thumbnail stage); in production these fuse into one stage
-    feats = media_dataset(sf_dir)
-    feats = feats.map_batches(
-        lambda b: b.filter(pc.equal(b.column("kind"), "image")),
-        batch_format="pyarrow", zero_copy_batch=True)
-    feats = feats.map_batches(
-        DecodeStage, fn_constructor_args=(True,),
-        batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE,
-        concurrency=(1, 4), num_cpus=1)
-    return feats.select_columns(
-        ["doc_id", "dec_w", "dec_h", "body_bytes", "mean_val", "std_val"])
+    return ds.select_columns(
+        ["doc_id", "dec_w", "dec_h", "body_bytes", "mean_val", "std_val",
+         "thumbnail"])
 
 
 @register("q_video_frames")  # stubbed codec: rows-only driver check

@@ -183,6 +183,49 @@ class ThumbnailStage:
                 .append_column("thumbnail", pa.array(thumbs, pa.binary())))
 
 
+class ImageFeatureStage:
+    """Fused decode + thumbnail actor stage: ONE ``_decode_one`` per payload
+    emits the feature columns AND the thumbnail binary (VERDICT r01 #6 —
+    the previous split stages each synthesized and decoded the payload).
+    Payload dies here, as in both parents."""
+
+    def __init__(self, side: int = 8, strict: bool = True):
+        self.side = side
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.side * self.side
+        ws, hs, frs, means, stds, n_bytes, thumbs = [], [], [], [], [], [], []
+        for payload in batch.column("payload").to_pylist():
+            try:
+                _kind, w, h, frames, body = _decode_one(payload)
+            except (NotImplementedError, ValueError):
+                if self.strict:
+                    raise
+                w = h = frames = 0
+                body = np.zeros(0, np.uint8)
+            true_len = len(body)
+            if true_len == 0:
+                body = np.zeros(1, np.uint8)
+            idx = (np.arange(n) * len(body)) // n
+            thumbs.append(body[idx].tobytes())
+            ws.append(w)
+            hs.append(h)
+            frs.append(frames)
+            means.append(float(body.mean()))
+            stds.append(float(body.std()))
+            n_bytes.append(true_len)
+        out = batch.drop_columns(["payload"])
+        return (out
+                .append_column("dec_w", pa.array(ws, pa.uint32()))
+                .append_column("dec_h", pa.array(hs, pa.uint32()))
+                .append_column("dec_frames", pa.array(frs, pa.uint32()))
+                .append_column("body_bytes", pa.array(n_bytes, pa.int64()))
+                .append_column("mean_val", pa.array(means, pa.float64()))
+                .append_column("std_val", pa.array(stds, pa.float64()))
+                .append_column("thumbnail", pa.array(thumbs, pa.binary())))
+
+
 class FrameSampleStage:
     """Video frame sampling: emit one row per sampled frame (flat_map shape).
 

@@ -108,3 +108,29 @@ def test_media_queries_via_ray(ray_session):
     frames = q["q_video_frames"](SF).to_pandas()
     assert len(frames) > len(feats)  # multiple frames per video
     assert set(frames["kind"]) == {"video"}
+
+
+def test_fused_image_stage_matches_split_stages():
+    """ImageFeatureStage (one decode) must equal DecodeStage + ThumbnailStage
+    run separately on the same payloads (VERDICT r01 #6 fusion)."""
+    import pyarrow as pa
+
+    from ocr_proofreader_ray.stages.media import (
+        DecodeStage,
+        ImageFeatureStage,
+        ThumbnailStage,
+        synthesize_media_batch,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 3, 6, 9], pa.int64()),  # doc_id%3==0 -> image
+        "text": pa.array(["alpha beta", "", "gamma", "delta epsilon zeta"]),
+    })
+    media = synthesize_media_batch(docs)
+    fused = ImageFeatureStage(8, True)(media)
+    dec = DecodeStage(True)(media)
+    thumb = ThumbnailStage(8)(media)
+    for col in ("dec_w", "dec_h", "dec_frames", "body_bytes",
+                "mean_val", "std_val"):
+        assert fused.column(col).equals(dec.column(col)), col
+    assert fused.column("thumbnail").equals(thumb.column("thumbnail"))
