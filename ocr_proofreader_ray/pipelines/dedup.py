@@ -554,3 +554,59 @@ def q_dedup_embedding(sf_dir: str, threshold: float = 0.99):
     return ray.data.from_arrow(
         grouped_agg(pairs, ["vec_a", "vec_b"], [("cos_milli", "min", "cos_milli")])
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster resolution: connected components over verified pairs
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(pairs: pa.Table) -> pa.Table:
+    """(doc_a, doc_b) pairs -> (doc_id, rep_id): connected components with
+    the component's min doc_id as canonical representative.
+
+    Pure driver-side union-find (path compression + union by min): the pair
+    set is post-LSH-verified and tiny relative to the corpus by
+    construction, so this is safe at scale the same way the pair-dedup
+    merge is.  If a corpus ever produced a pair list too big for one
+    machine, the documented fallback is iterative min-label propagation:
+    repeat [groupby(doc) -> min(label of neighbors)] until fixpoint — each
+    round is one small shuffle of (doc, label) pairs.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for a, b in zip(pairs.column("doc_a").to_pylist(),
+                    pairs.column("doc_b").to_pylist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        union(a, b)
+
+    members = sorted(parent)
+    return pa.table({
+        "doc_id": pa.array(members, pa.int64()),
+        "rep_id": pa.array([find(m) for m in members], pa.int64()),
+    })
+
+
+@register("q_dedup_clusters")  # transitive closure over sketch pairs: no oracle
+def q_dedup_clusters(sf_dir: str):
+    """MinHash near-dup pairs resolved to canonical clusters — the actual
+    keep/drop decision a training-data dedup pass needs: every doc in a
+    component maps to the component's min doc_id (keep rows where
+    doc_id == rep_id, drop the rest)."""
+    docs = t(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, shingle_n=3, jaccard_threshold=0.5)
+    return dedup_clusters(pairs)

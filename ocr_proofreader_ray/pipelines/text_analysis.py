@@ -242,3 +242,119 @@ def q_lang_id(sf_dir: str):
 
     ds = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_agg(ds, ["lang", "predicted"], [(None, "count", "n")])
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + text normalization (training-data hygiene operators).
+# Arrow's replace_substring_regex and DuckDB's regexp_replace both run RE2,
+# so one pattern string gives bit-identical output on both engines.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+[0-9]{7,15}"
+
+
+def scrub_pii_batch(b: pa.Table) -> pa.Table:
+    """Redact emails then international-format phone numbers (vectorized
+    RE2; order matters and is identical in the SQL oracle)."""
+    text = b.column("text")
+    text = pc.replace_substring_regex(text, pattern=_EMAIL_RE,
+                                      replacement="<EMAIL>")
+    text = pc.replace_substring_regex(text, pattern=_PHONE_RE,
+                                      replacement="<PHONE>")
+    return pa.table({"doc_id": b.column("doc_id"), "scrubbed": text})
+
+
+@register(
+    "q_scrub_pii",
+    sql=r"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\+[0-9]{7,15}', '<PHONE>', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def q_scrub_pii(sf_dir: str):
+    ds = t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(scrub_pii_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+@register(
+    "q_text_normalize",
+    sql=r"""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def q_text_normalize(sf_dir: str):
+    """Canonical text normalization: lowercase, collapse whitespace runs,
+    strip the ends — the standard pre-dedup/pre-tokenize cleanup pass."""
+    ds = t(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(b.column("text"))
+        text = pc.replace_substring_regex(text, pattern=r"\s+",
+                                          replacement=" ")
+        text = pc.utf8_trim_whitespace(text)
+        return pa.table({"doc_id": b.column("doc_id"), "norm_text": text})
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: exact top-K tokens per language (combiner + per-lang top-k)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_heavy_hitters",
+    sql="""
+    WITH counts AS (
+        SELECT lang, tok, count(*) AS cnt
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY lang, tok
+    ), ranked AS (
+        SELECT lang, tok, cnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, tok ASC) AS rn
+        FROM counts
+    )
+    SELECT lang, tok, cnt FROM ranked WHERE rn <= 20
+    """,
+)
+def q_heavy_hitters(sf_dir: str, k: int = 20):
+    """Exact per-language top-K tokens — the dictionary-build machinery as a
+    first-class query.  Per-batch pyarrow group_by partials mean the shuffle
+    moves (lang, tok, partial_count) rows, never text; the final per-lang
+    rank is a driver-side sort of the (small) global counts with the same
+    (cnt DESC, tok ASC) total order as the SQL window."""
+    ds = t(sf_dir, "documents", ["lang", "text"])
+
+    def explode_count(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        toks = pc.split_pattern(b.column("text"), pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        row_idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        langs = b.column("lang").take(pa.array(row_idx))
+        return (pa.table({"lang": langs, "tok": flat})
+                .group_by(["lang", "tok"]).aggregate([([], "count_all")])
+                .rename_columns(["lang", "tok", "cnt"]))
+
+    partials = ds.map_batches(explode_count, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    total = grouped_agg(partials, ["lang", "tok"], [("cnt", "sum", "cnt")])
+    parts = []
+    for lang in pc.unique(total.column("lang")).to_pylist():
+        sub = total.filter(pc.equal(total.column("lang"), lang))
+        idx = pc.sort_indices(sub, sort_keys=[("cnt", "descending"),
+                                              ("tok", "ascending")])
+        parts.append(sub.take(idx[:k]))
+    return (pa.concat_tables(parts) if parts
+            else total.schema.empty_table())

@@ -1,0 +1,68 @@
+"""PII scrubbing, normalization, heavy hitters, dedup clusters (round 2
+LLM-pipeline operators).  The SQL-expressible ones are also covered by the
+oracle replica in test_relational_oracle.py; these tests plant inputs the
+synthetic tables don't contain (emails, phone numbers, near-dup chains)."""
+
+import pyarrow as pa
+
+from ocr_proofreader_ray.pipelines.dedup import dedup_clusters
+from ocr_proofreader_ray.pipelines.text_analysis import scrub_pii_batch
+
+
+def test_scrub_planted_pii():
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "contact me at alice.smith+work@example.co.uk today",
+            "call +14155551234 or mail bob@ex.io",
+            "nothing sensitive here",
+        ]),
+    })
+    out = scrub_pii_batch(b).column("scrubbed").to_pylist()
+    assert out[0] == "contact me at <EMAIL> today"
+    assert out[1] == "call <PHONE> or mail <EMAIL>"
+    assert out[2] == "nothing sensitive here"
+
+
+def test_dedup_clusters_transitive():
+    # chain 1-2, 2-3 plus island 7-8: components {1,2,3} and {7,8}
+    pairs = pa.table({
+        "doc_a": pa.array([2, 1, 7], pa.int64()),
+        "doc_b": pa.array([3, 2, 8], pa.int64()),
+    })
+    out = dedup_clusters(pairs)
+    got = dict(zip(out.column("doc_id").to_pylist(),
+                   out.column("rep_id").to_pylist()))
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_dedup_clusters_empty():
+    pairs = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+    assert dedup_clusters(pairs).num_rows == 0
+
+
+def test_cluster_pipeline_on_planted_chain(ray_session):
+    """A~B and B~C at jaccard 0.5 without A~C: the cluster must still unite
+    all three (transitivity is the point of resolution)."""
+    import ray.data
+
+    from ocr_proofreader_ray.pipelines.dedup import minhash_lsh_pairs
+
+    a = [f"a{i}" for i in range(60)]
+    c = [f"c{i}" for i in range(60)]
+    b = a[:50] + c[:50]  # J(a,b) = J(b,c) = 50/110 ≈ 0.45, J(a,c) = 0
+    rows = [
+        {"doc_id": 1, "text": " ".join(a)},
+        {"doc_id": 2, "text": " ".join(b)},
+        {"doc_id": 3, "text": " ".join(c)},
+        {"doc_id": 4, "text": " ".join(f"z{i}" for i in range(60))},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    pairs = minhash_lsh_pairs(ds, shingle_n=1, jaccard_threshold=0.4)
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.to_pylist()}
+    assert (1, 2) in found and (2, 3) in found and (1, 3) not in found
+    clusters = dedup_clusters(pairs)
+    got = dict(zip(clusters.column("doc_id").to_pylist(),
+                   clusters.column("rep_id").to_pylist()))
+    assert got == {1: 1, 2: 1, 3: 1}
