@@ -292,18 +292,31 @@ def _chunk_counters(raw_dir: str, out_dir: str | None,
     three column sums run as PARALLEL Ray tasks — the old single serial
     task cost a fixed ~3.4s per bench run at any CPU count, a pure
     scaling-efficiency tax on the 32-CPU leg."""
-    import pyarrow.parquet as _pq
+    refs = _launch_counter_sums(raw_dir, out_dir)
+    return _resolve_chunk_counters(refs, raw_dir, out_dir, input_rows)
 
-    def rows_of(d: str) -> int:
-        return sum(_pq.read_metadata(f"{d}/{f}").num_rows
-                   for f in os.listdir(d) if f.endswith(".parquet"))
 
+def _launch_counter_sums(raw_dir: str, out_dir: str | None) -> list:
+    """Kick off the column-sum tasks WITHOUT waiting — the driver loop
+    overlaps them with the next chunk's pipeline (one-chunk lookahead), so
+    multi-chunk crawl runs never serialize on lineage accounting."""
     refs = [_col_sum.remote(raw_dir, "html_bytes"),
             _col_sum.remote(raw_dir, "n_chars")]
-    with_out = out_dir is not None and os.path.isdir(out_dir)
-    if with_out:
+    if out_dir is not None and os.path.isdir(out_dir):
         refs.append(_col_sum.remote(out_dir, "n_chars"))
-    raw_rows = rows_of(raw_dir)
+    return refs
+
+
+def _dir_rows(d: str) -> int:
+    """Row count of a committed chunk directory from footer metadata."""
+    return sum(pq.read_metadata(f"{d}/{f}").num_rows
+               for f in os.listdir(d) if f.endswith(".parquet"))
+
+
+def _resolve_chunk_counters(refs: list, raw_dir: str, out_dir: str | None,
+                            input_rows: int) -> dict:
+    with_out = len(refs) == 3
+    raw_rows = _dir_rows(raw_dir)
     sums = ray.get(refs)
 
     counters = {
@@ -317,7 +330,7 @@ def _chunk_counters(raw_dir: str, out_dir: str | None,
     if with_out:
         counters["correct"] = {
             "rows_in": raw_rows,
-            "rows_out": rows_of(out_dir),
+            "rows_out": _dir_rows(out_dir),
             "bytes_in": sums[1],
             "bytes_out": sums[2],
         }
@@ -348,14 +361,57 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
     def chunk_rows(chunk_files: list[str]) -> int:
         return sum(pq.read_metadata(f).num_rows for f in chunk_files)
 
-    def counters_for(chunk_id: int, with_pass2: bool,
-                     chunk_files: list[str]) -> dict:
-        raw_dir = f"{cfg.raw_dir}/chunk-{chunk_id:05d}"
-        out_dir = f"{cfg.out_dir}/chunk-{chunk_id:05d}" if with_pass2 else None
-        return _chunk_counters(raw_dir, out_dir, chunk_rows(chunk_files))
-
     timings = {"pass1_sec": 0.0, "dict_sec": 0.0, "pass2_sec": 0.0,
                "counters_sec": 0.0, "pass1_stages": {}, }
+
+    # One-chunk lookahead for lineage counters: after a chunk's outputs
+    # commit, its counter tasks are LAUNCHED but resolved only when the next
+    # chunk finishes (or at pass end), so multi-chunk crawl runs overlap
+    # counting with the next chunk's pipeline instead of serializing on it.
+    # The manifest is still written only from committed outputs — a crash in
+    # the window merely re-runs an already-committed chunk on resume.
+    pending: list = []
+
+    def flush_pending() -> None:
+        if not pending:
+            return
+        manifest, chunk_id, fp, chunk_files, resolve, wall, extra = \
+            pending.pop()
+        tc = time.time()
+        manifest.record_done(chunk_id, fp, chunk_files, resolve(), wall,
+                             extra=extra)
+        timings["counters_sec"] += time.time() - tc
+
+    def pass2_resolver(chunk_id: int, raw_dir: str, out_dir: str,
+                       chunk_files: list[str]):
+        """Pass-2 counters reuse the raw-side sums already recorded in the
+        pass-1 manifest (same committed files — no point re-reading 2M rows
+        of html_bytes/n_chars); only the output n_chars sum is computed,
+        launched now and resolved at flush time."""
+        rec = m1.load(chunk_id)
+        extract = (rec or {}).get("counters", {}).get("extract")
+        if extract is None:  # no pass-1 record (shouldn't happen): recompute
+            refs = _launch_counter_sums(raw_dir, out_dir)
+            return lambda: _resolve_chunk_counters(
+                refs, raw_dir, out_dir, chunk_rows(chunk_files))
+        out_ref = _col_sum.remote(out_dir, "n_chars")
+
+        def resolve() -> dict:
+            return {
+                "extract": extract,
+                "correct": {
+                    "rows_in": extract["rows_out"],
+                    "rows_out": _dir_rows(out_dir),
+                    "bytes_in": extract["bytes_out"],
+                    "bytes_out": ray.get(out_ref),
+                },
+            }
+
+        return resolve
+
+    def chunk_dirs(chunk_id: int, with_pass2: bool) -> tuple[str, str | None]:
+        return (f"{cfg.raw_dir}/chunk-{chunk_id:05d}",
+                f"{cfg.out_dir}/chunk-{chunk_id:05d}" if with_pass2 else None)
 
     dict_needed = not os.path.exists(cfg.dict_path)
     for chunk_id, chunk_files in enumerate(chunks):
@@ -364,16 +420,22 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
             continue
         t0 = time.time()
         stage_t = run_pass1_chunk(cfg, chunk_id, chunk_files, lineage_name)
-        tc = time.time()
-        m1.record_done(chunk_id, fp, chunk_files,
-                       counters_for(chunk_id, False, chunk_files),
-                       time.time() - t0, extra={"stage_sec": stage_t})
-        timings["counters_sec"] += time.time() - tc
-        timings["pass1_sec"] += time.time() - t0
+        wall = time.time() - t0
+        raw_dir, out_dir = chunk_dirs(chunk_id, False)
+        refs = _launch_counter_sums(raw_dir, out_dir)
+        n_rows = chunk_rows(chunk_files)
+        resolve1 = (lambda refs=refs, raw_dir=raw_dir, n_rows=n_rows:
+                    _resolve_chunk_counters(refs, raw_dir, None, n_rows))
+        flush_pending()
+        pending.append((m1, chunk_id, fp, chunk_files, resolve1,
+                        wall, {"stage_sec": stage_t}))
+        timings["pass1_sec"] += wall
         for k, v in stage_t.items():
             timings["pass1_stages"][k] = round(
                 timings["pass1_stages"].get(k, 0.0) + v, 3)
         dict_needed = True  # counts changed → rebuild dictionary
+    # the last pass-1 chunk's counters stay pending ACROSS the dictionary
+    # build and the first pass-2 chunk — maximal overlap
 
     if dict_needed:
         t0 = time.time()
@@ -394,12 +456,13 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
             continue
         t0 = time.time()
         run_pass2_chunk(cfg, chunk_id, lineage_name)
-        tc = time.time()
-        m2.record_done(chunk_id, fp, chunk_files,
-                       counters_for(chunk_id, True, chunk_files),
-                       time.time() - t0)
-        timings["counters_sec"] += time.time() - tc
-        timings["pass2_sec"] += time.time() - t0
+        wall = time.time() - t0
+        raw_dir, out_dir = chunk_dirs(chunk_id, True)
+        flush_pending()  # pass-1's record must exist before the resolver reads it
+        resolve2 = pass2_resolver(chunk_id, raw_dir, out_dir, chunk_files)
+        pending.append((m2, chunk_id, fp, chunk_files, resolve2, wall, None))
+        timings["pass2_sec"] += wall
+    flush_pending()
 
     # per-stage wall-time split for the scaling analysis (BASELINE.md):
     # facts about where the time went, written next to the manifests
