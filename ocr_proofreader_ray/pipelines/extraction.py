@@ -132,16 +132,20 @@ def run_pass1_chunk(cfg: ExtractionConfig, chunk_id: int, files: list[str],
         num_cpus=cfg.extract_num_cpus,
         zero_copy_batch=True,
     )
-    ds.write_parquet(raw_tmp, compression="zstd")  # ~30% fewer bytes than snappy, no slower
+    # materialize the extracted blocks (html already dropped, so this is the
+    # NARROW table) so the tokenize pass consumes them from the object store
+    # instead of re-reading + zstd-decompressing the parquet it just wrote;
+    # memory is chunk-bounded and the store spills under pressure
+    raw_mat = ds.materialize()
+    raw_mat.write_parquet(raw_tmp, compression="zstd")  # ~30% fewer bytes than snappy, no slower
     commit_raw()
     t_extract = time.time() - t0
 
-    # token partials from the (much smaller) raw text we just wrote — HTML is
-    # parsed exactly once even though the pipeline is two-pass
+    # token partials from the in-memory raw blocks — HTML is parsed exactly
+    # once even though the pipeline is two-pass
     t0 = time.time()
     counts_tmp, commit_counts = mstate.atomic_output(counts_final)
-    raw = ray.data.read_parquet(raw_final, columns=["lang", "raw_text"])
-    raw.map_batches(
+    raw_mat.select_columns(["lang", "raw_text"]).map_batches(
         tokenize_count_batch, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     ).write_parquet(counts_tmp, compression="zstd")
