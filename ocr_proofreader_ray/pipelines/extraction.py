@@ -137,7 +137,10 @@ def run_pass1_chunk(cfg: ExtractionConfig, chunk_id: int, files: list[str],
     # instead of re-reading + zstd-decompressing the parquet it just wrote;
     # memory is chunk-bounded and the store spills under pressure
     raw_mat = ds.materialize()
-    raw_mat.write_parquet(raw_tmp, compression="zstd")  # ~30% fewer bytes than snappy, no slower
+    # snappy for the raw INTERMEDIATE (written once, read once on pass 2's
+    # critical path — cheap decompress beats zstd's ~30% size win there);
+    # counts and the final extracted output stay zstd
+    raw_mat.write_parquet(raw_tmp, compression="snappy")
     commit_raw()
     t_extract = time.time() - t0
 
