@@ -170,31 +170,17 @@ def _candidate_pairs(bands: "ray.data.Dataset",
     return pairs_table.select(["doc_a", "doc_b"]).combine_chunks()
 
 
-def _verify_pairs_shuffle(
-    docs: "ray.data.Dataset",
-    pairs_table: pa.Table,
-    element_rows,
-    thr_num: int,
-    thr_den: int,
-) -> pa.Table:
-    """Exact set-overlap verification of candidate pairs WITHOUT broadcasting
-    per-doc state (VERDICT r01 #1: the 10^12-doc path).
+# adaptive verification cutover: at or below this many candidate docs the
+# element rows (candidates ONLY, never the corpus) are gathered to the driver
+# and verified in numpy; above it, the shuffle-join plan runs.  Both paths
+# are exact and tested equal — this is the small-input fast path, not a
+# correctness tradeoff.
+_GATHER_MAX_DOCS = 200_000
 
-    Plan: semi-filter ``docs`` to candidate doc_ids (a compact key set — at
-    extreme scale swap for a Bloom filter), explode each doc to
-    (doc_id, el) element rows, then
-      inter(a,b) = |{el : el ∈ a ∧ el ∈ b}|
-                 = count of the multi-key shuffle join
-                   (pairs ⋈_{doc_a} elements) ⋈_{(doc_b, el)} elements
-    Set sizes come from a combiner aggregate of the same element rows, and
-    ``uni = sz_a + sz_b - inter``.  Keep ``inter * thr_den >= thr_num * uni``
-    (integer exact; pairs with uni = 0 or inter = 0 drop out of the inner
-    join, matching the broadcast path which also drops them).
-    Shuffled bytes ∝ candidate-set elements, never the corpus.
-    """
-    if pairs_table.num_rows == 0:
-        return _PAIRS_SCHEMA.empty_table()
 
+def _cand_elements(docs: "ray.data.Dataset", pairs_table: pa.Table,
+                   element_rows) -> tuple[pa.Array, "ray.data.Dataset"]:
+    """Candidate doc ids + their exploded (doc_id, el) element rows."""
     cand_ids = pa.concat_arrays([
         pairs_table.column("doc_a").combine_chunks(),
         pairs_table.column("doc_b").combine_chunks(),
@@ -211,12 +197,77 @@ def _verify_pairs_shuffle(
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "el": pa.array(els, pa.int64())})
 
+    elements = cand_docs.map_batches(explode, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    return cand_ids, elements
+
+
+def _verify_pairs(docs, pairs_table: pa.Table, element_rows,
+                  thr_num: int, thr_den: int) -> pa.Table:
+    """Exact verification of candidate pairs; picks the gather or shuffle
+    plan by candidate-set size (see _GATHER_MAX_DOCS)."""
+    if pairs_table.num_rows == 0:
+        return _PAIRS_SCHEMA.empty_table()
+    cand_ids, elements = _cand_elements(docs, pairs_table, element_rows)
+    if len(cand_ids) <= _GATHER_MAX_DOCS:
+        return _verify_pairs_gather(pairs_table, elements,
+                                    thr_num=thr_num, thr_den=thr_den)
+    return _verify_pairs_shuffle(pairs_table, elements,
+                                 thr_num=thr_num, thr_den=thr_den)
+
+
+def _verify_pairs_gather(pairs_table: pa.Table, elements: "ray.data.Dataset",
+                         thr_num: int, thr_den: int) -> pa.Table:
+    """Small-candidate-set plan: gather the candidate element rows (bounded
+    by pair count x set size — the distributed explode already dropped the
+    rest of the corpus) and verify with Python set ops on the driver."""
+    from ocr_proofreader_ray.ops.agg import _arrow_blocks
+
+    sets: dict[int, set[int]] = {}
+    for blk in _arrow_blocks(elements):
+        for d, el in zip(blk.column("doc_id").to_pylist(),
+                         blk.column("el").to_pylist()):
+            sets.setdefault(d, set()).add(el)
+    out = {"doc_a": [], "doc_b": [], "inter": [], "uni": []}
+    order = sorted(zip(pairs_table.column("doc_a").to_pylist(),
+                       pairs_table.column("doc_b").to_pylist()))
+    for a_id, b_id in order:
+        sa, sb = sets.get(a_id, set()), sets.get(b_id, set())
+        inter = len(sa & sb)
+        uni = len(sa | sb)
+        if uni > 0 and inter * thr_den >= thr_num * uni:
+            out["doc_a"].append(a_id)
+            out["doc_b"].append(b_id)
+            out["inter"].append(inter)
+            out["uni"].append(uni)
+    return pa.table(out, schema=_PAIRS_SCHEMA)
+
+
+def _verify_pairs_shuffle(
+    pairs_table: pa.Table,
+    elements: "ray.data.Dataset",
+    thr_num: int,
+    thr_den: int,
+) -> pa.Table:
+    """Exact set-overlap verification of candidate pairs WITHOUT broadcasting
+    per-doc state (VERDICT r01 #1: the 10^12-doc path).
+
+    ``elements`` is the candidate-only (doc_id, el) dataset from
+    ``_cand_elements``; then
+      inter(a,b) = |{el : el ∈ a ∧ el ∈ b}|
+                 = count of the multi-key shuffle join
+                   (pairs ⋈_{doc_a} elements) ⋈_{(doc_b, el)} elements
+    Set sizes come from a combiner aggregate of the same element rows, and
+    ``uni = sz_a + sz_b - inter``.  Keep ``inter * thr_den >= thr_num * uni``
+    (integer exact; pairs with uni = 0 or inter = 0 drop out of the inner
+    join, matching the gather/broadcast paths which also drop them).
+    Shuffled bytes ∝ candidate-set elements, never the corpus.
+    """
     # materialize ONCE: the element rows feed three consumers (sizes + both
     # joins) and would otherwise re-read + re-explode the docs table per
     # consumer; volume is bounded by candidate-set elements (object-store
     # blocks, spillable), never the corpus
-    elements = cand_docs.map_batches(explode, batch_format="pyarrow",
-                                     zero_copy_batch=True).materialize()
+    elements = elements.materialize()
 
     sizes = grouped_agg(elements, ["doc_id"], [(None, "count", "sz")])
 
@@ -252,11 +303,14 @@ def minhash_lsh_pairs(
 ):
     """shingle → minhash → band → bucket-groupby → verified candidate pairs.
 
-    Default verification is the shuffle-join plan (`_verify_pairs_shuffle`):
-    nothing per-doc is broadcast and nothing corpus-sized touches the driver.
-    Passing ``token_sets`` (doc_id → shingle hashes) selects the legacy
-    broadcast verification — kept for the old-path == new-path equivalence
-    test (tests/test_dedup.py) and for corpora known to fit in one worker.
+    Default verification is adaptive (`_verify_pairs`): candidate-only
+    element rows are exploded distributed, then either gathered to the
+    driver (small candidate sets) or verified via the multi-key shuffle
+    join (the 10^12-doc path) — nothing per-doc is ever broadcast and
+    nothing corpus-sized touches the driver on either plan.  Passing
+    ``token_sets`` (doc_id → shingle hashes) selects the legacy broadcast
+    verification — kept for the path-equivalence test (tests/test_dedup.py)
+    and for corpora known to fit in one worker.
     Output columns: (doc_a, doc_b, inter, uni), kept when
     inter/uni >= threshold exactly (integer comparison).
     """
@@ -269,8 +323,8 @@ def minhash_lsh_pairs(
             return [h - (1 << 63)
                     for h in shingles((text or "").split(), n=shingle_n)]
 
-        return _verify_pairs_shuffle(docs, pairs_table, shingle_elements,
-                                     thr_num=thr_num, thr_den=1_000_000)
+        return _verify_pairs(docs, pairs_table, shingle_elements,
+                             thr_num=thr_num, thr_den=1_000_000)
 
     # legacy broadcast verification (small-corpus / equivalence-test path)
     pairs = ray.data.from_arrow(pairs_table)
@@ -450,12 +504,12 @@ def q_dedup_ngram_jaccard(sf_dir: str):
     O(n^2).  At threshold 0.9 the 32x4 banding's per-pair miss probability
     is (1 - 0.9^4)^32 ≈ 1.3e-15 — deterministic seeded hashing makes the
     outcome fixed, and the DuckDB oracle equality at sf0.01 pins it.
-    Exact verification runs on the token *strings* via the same shuffle-join
-    plan as MinHash (`_verify_pairs_shuffle`, elements = hashed-to-int64
-    token identities are NOT enough for oracle exactness, so elements are
-    blake2b-64 of the token — collision probability over a doc's vocabulary
-    is ~|V|^2 / 2^64, negligible and fixed), then the doc pair is restricted
-    to equal (lang, source) by the bucket keys themselves.
+    Exact verification runs on the token identities via the same adaptive
+    plan as MinHash (`_verify_pairs`: gather for small candidate sets,
+    multi-key shuffle join at scale; raw strings are NOT used as elements —
+    they are blake2b-64 hashed, and the collision probability over a doc's
+    vocabulary is ~|V|^2 / 2^64, negligible and fixed), then the doc pair
+    is restricted to equal (lang, source) by the bucket keys themselves.
     """
     docs = t(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
 
@@ -466,8 +520,8 @@ def q_dedup_ngram_jaccard(sf_dir: str):
         return [stable_hash64(tok) - (1 << 63)
                 for tok in set((text or "").split())]
 
-    return _verify_pairs_shuffle(docs, pairs_table, token_elements,
-                                 thr_num=9, thr_den=10)
+    return _verify_pairs(docs, pairs_table, token_elements,
+                         thr_num=9, thr_den=10)
 
 
 # ---------------------------------------------------------------------------

@@ -133,6 +133,25 @@ def test_minhash_shuffle_verify_matches_broadcast(ray_session):
     assert as_set(old) == as_set(new)
     assert (1, 4) in {(r["doc_a"], r["doc_b"]) for r in new}
 
+    # the adaptive default picked the gather plan at this size; force the
+    # shuffle-join plan too and pin all three paths identical
+    from ocr_proofreader_ray.pipelines.dedup import (
+        _band_rows,
+        _candidate_pairs,
+        _cand_elements,
+        _verify_pairs_shuffle,
+    )
+
+    pairs_table = _candidate_pairs(_band_rows(ds, 3))
+
+    def shingle_elements(text):
+        return [h - (1 << 63) for h in shingles((text or "").split(), n=3)]
+
+    _, elements = _cand_elements(ds, pairs_table, shingle_elements)
+    shuffled = _verify_pairs_shuffle(pairs_table, elements,
+                                     thr_num=500_000, thr_den=1_000_000)
+    assert as_set(shuffled.to_pylist()) == as_set(new)
+
 
 def test_simhash_hamming_finds_planted_neardups(ray_session):
     """VERDICT r01 #4: Hamming-ball banding must find docs whose SimHash
