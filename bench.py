@@ -38,6 +38,12 @@ BENCH_QUERIES = [
     "q_ann_topk",
     "q_token_stats",
     "q_events_daily",
+    # round-2 operators
+    "q_urgent_order_revenue",
+    "q_heavy_hitters",
+    "q_dedup_simhash_hamming",
+    "q_scrub_pii",
+    "q_dedup_clusters",
 ]
 
 
