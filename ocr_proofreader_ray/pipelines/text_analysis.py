@@ -358,3 +358,100 @@ def q_heavy_hitters(sf_dir: str, k: int = 20):
         parts.append(sub.take(idx[:k]))
     return (pa.concat_tables(parts) if parts
             else total.schema.empty_table())
+
+
+@register("q_heavy_hitters_approx")  # sketch-based: rows-only driver check
+def q_heavy_hitters_approx(sf_dir: str, k: int = 20, cand_per_lang: int = 60):
+    """Bounded-memory heavy hitters: Count-Min Sketch + local candidates.
+
+    The exact path's (lang, token) partial table grows with vocabulary —
+    GBs at crawl scale.  Here every batch emits (a) its local top
+    ``cand_per_lang`` candidate tokens per language and (b) ONE fixed-size
+    CMS partial (depth x width counters, mergeable by addition); the driver
+    sums the sketches and ranks the deduped candidates by their CMS
+    estimate (never an underestimate).  A true global heavy hitter is a
+    local heavy hitter in enough batches for the candidate union to contain
+    it with near certainty — the standard sketch+candidates plan.
+    """
+    import numpy as np
+    import polars as pl
+
+    from ocr_proofreader_ray.functions.cms import CountMinSketch
+    from ocr_proofreader_ray.ops.agg import _arrow_blocks
+
+    proto = CountMinSketch()
+    width, depth = proto.width, proto.depth
+
+    ds = t(sf_dir, "documents", ["lang", "text"])
+
+    def _key_hashes(langs: pa.Array, toks: pa.Array) -> "np.ndarray":
+        joined = pc.binary_join_element_wise(
+            pc.cast(langs, pa.string()), pc.cast(toks, pa.string()), "\x00")
+        return pl.Series(joined.combine_chunks()
+                         if isinstance(joined, pa.ChunkedArray) else joined
+                         ).hash(seed=0).to_numpy().astype(np.uint64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        row_idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        langs = b.column("lang").take(pa.array(row_idx))
+        counts = (pa.table({"lang": langs, "tok": flat})
+                  .group_by(["lang", "tok"]).aggregate([([], "count_all")])
+                  .rename_columns(["lang", "tok", "cnt"]))
+        # one fixed-size sketch partial for this batch
+        sk = CountMinSketch(width, depth)
+        sk.add(_key_hashes(counts.column("lang"), counts.column("tok")),
+               counts.column("cnt").to_numpy(zero_copy_only=False))
+        # local candidates: top cand_per_lang per lang by local count
+        df = counts.to_pandas()
+        cand = (df.sort_values(["lang", "cnt", "tok"],
+                               ascending=[True, False, True])
+                .groupby("lang", sort=False).head(cand_per_lang))
+        n = len(cand)
+        return pa.table({
+            "kind": pa.array([0] * n + [1], pa.int8()),
+            "lang": pa.array(list(cand["lang"]) + [""], pa.string()),
+            "tok": pa.array(list(cand["tok"]) + [""], pa.string()),
+            "payload": pa.array([None] * n + [sk.counts.tobytes()],
+                                pa.binary()),
+        })
+
+    blocks = _arrow_blocks(ds.map_batches(partial, batch_format="pyarrow",
+                                          zero_copy_batch=True))
+    sketch = CountMinSketch(width, depth)
+    cand_langs: list[str] = []
+    cand_toks: list[str] = []
+    seen: set[tuple[str, str]] = set()
+    for blk in blocks:
+        kinds = blk.column("kind").to_pylist()
+        langs_ = blk.column("lang").to_pylist()
+        toks_ = blk.column("tok").to_pylist()
+        payloads = blk.column("payload").to_pylist()
+        for kind, lang, tok, payload in zip(kinds, langs_, toks_, payloads):
+            if kind == 1:
+                part = np.frombuffer(payload, dtype=np.uint64).reshape(
+                    depth, width)
+                sketch.counts += part
+            elif (lang, tok) not in seen:
+                seen.add((lang, tok))
+                cand_langs.append(lang)
+                cand_toks.append(tok)
+
+    if not cand_langs:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "tok": pa.array([], pa.string()),
+                         "est": pa.array([], pa.int64())})
+    est = sketch.estimate(_key_hashes(pa.array(cand_langs),
+                                      pa.array(cand_toks)))
+    full = pa.table({"lang": pa.array(cand_langs),
+                     "tok": pa.array(cand_toks),
+                     "est": pa.array(est, pa.int64())})
+    parts = []
+    for lang in pc.unique(full.column("lang")).to_pylist():
+        sub = full.filter(pc.equal(full.column("lang"), lang))
+        idx = pc.sort_indices(sub, sort_keys=[("est", "descending"),
+                                              ("tok", "ascending")])
+        parts.append(sub.take(idx[:k]))
+    return pa.concat_tables(parts)

@@ -66,3 +66,66 @@ def test_cluster_pipeline_on_planted_chain(ray_session):
     got = dict(zip(clusters.column("doc_id").to_pylist(),
                    clusters.column("rep_id").to_pylist()))
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_cms_overestimates_never_under():
+    import numpy as np
+
+    from ocr_proofreader_ray.functions.cms import CountMinSketch
+
+    rng = np.random.RandomState(7)
+    keys = rng.randint(0, 2**62, size=5000).astype(np.uint64)
+    weights = rng.randint(1, 50, size=5000)
+    true = {}
+    for k_, w in zip(keys.tolist(), weights.tolist()):
+        true[k_] = true.get(k_, 0) + w
+    sk = CountMinSketch(width=1 << 14, depth=4)
+    sk.add(keys, weights)
+    uk = np.fromiter(true.keys(), dtype=np.uint64)
+    est = sk.estimate(uk)
+    tv = np.fromiter(true.values(), dtype=np.int64)
+    assert (est >= tv).all()
+    # total mass small vs width -> estimates are near-exact on average
+    assert float((est - tv).mean()) < 5.0
+
+    # mergeability: two half-sketches sum to the whole
+    a, b = CountMinSketch(1 << 14, 4), CountMinSketch(1 << 14, 4)
+    a.add(keys[:2500], weights[:2500])
+    b.add(keys[2500:], weights[2500:])
+    a.merge(b)
+    assert np.array_equal(a.counts, sk.counts)
+
+
+def test_heavy_hitters_approx_matches_exact_on_planted(ray_session, tmp_path):
+    """Planted corpus where CMS error << count gaps: approx == exact."""
+    import pyarrow.parquet as pq
+
+    from ocr_proofreader_ray.pipelines.text_analysis import (
+        q_heavy_hitters,
+        q_heavy_hitters_approx,
+    )
+
+    texts, langs, ids = [], [], []
+    doc = 0
+    for lang in ("en", "de"):
+        words = []
+        for i in range(30):
+            words += [f"{lang}hh{i}"] * (100 - 3 * i)  # clear frequency gaps
+        for i in range(500):
+            words.append(f"{lang}rare{i}")
+        for start in range(0, len(words), 200):
+            texts.append(" ".join(words[start:start + 200]))
+            langs.append(lang)
+            ids.append(doc)
+            doc += 1
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "lang": pa.array(langs),
+                             "text": pa.array(texts)}),
+                   str(tmp_path / "documents.parquet"))
+
+    exact = q_heavy_hitters(str(tmp_path))
+    approx = q_heavy_hitters_approx(str(tmp_path))
+    to_set = lambda t: {(l, tok, c) for l, tok, c in zip(
+        t.column(0).to_pylist(), t.column(1).to_pylist(),
+        t.column(2).to_pylist())}
+    assert to_set(approx) == to_set(exact)
