@@ -212,10 +212,10 @@ def run_scaling() -> dict:
     one leg inside a noise window and corrupt the ratio in either
     direction; interleaving + best-of-2 measures the pipeline, not the
     host's weather.  Per-stage splits ride along for attribution."""
-    def run(ncpu: int, skip_queries: bool = True) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        if skip_queries:
-            env["GRAFT_SKIP_QUERIES"] = "1"
+    def run(ncpu: int) -> dict:
+        # scaling legs time the headline pipeline only
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SKIP_QUERIES="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))

@@ -120,8 +120,13 @@ def build_bloom(ds, col: str, n_keys_estimate: int,
         f.add_column(b.column(col))
         return pa.table({"bits": pa.array([f.bits.tobytes()], pa.binary())})
 
+    from ocr_proofreader_ray.ops.agg import _arrow_blocks
+
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    for blk in ray.get(parts.to_arrow_refs()):
+    # _arrow_blocks drops empty blocks — an empty input block can pass
+    # through map_batches UNTRANSFORMED (no "bits" column; seen with a
+    # materialized filtered input feeding the build)
+    for blk in _arrow_blocks(parts):
         for payload in blk.column("bits").to_pylist():
             np.bitwise_or(proto.bits, np.frombuffer(payload, dtype=np.uint8),
                           out=proto.bits)

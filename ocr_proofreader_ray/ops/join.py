@@ -180,6 +180,12 @@ def shuffle_join(
             raise ValueError("bloom_prefilter requires join_type='inner'")
         from ocr_proofreader_ray.functions.bloom import build_bloom
 
+        # materialize the (usually filtered, hence small) right side ONCE:
+        # it feeds three consumers — the key-count for sizing, the Bloom
+        # build pass, and the join itself — and would otherwise re-read and
+        # re-filter its input per consumer (code-review r02 finding #4);
+        # count() on a materialized dataset is free metadata
+        right = right.materialize()
         n = bloom_n_keys if bloom_n_keys is not None else right.count()
         bloom_ref = ray.put(build_bloom(right, right_on[0], n))
         key0 = on[0]

@@ -170,12 +170,14 @@ def _candidate_pairs(bands: "ray.data.Dataset",
     return pairs_table.select(["doc_a", "doc_b"]).combine_chunks()
 
 
-# adaptive verification cutover: at or below this many candidate docs the
-# element rows (candidates ONLY, never the corpus) are gathered to the driver
-# and verified in numpy; above it, the shuffle-join plan runs.  Both paths
-# are exact and tested equal — this is the small-input fast path, not a
-# correctness tradeoff.
-_GATHER_MAX_DOCS = 200_000
+# adaptive verification cutover: at or below this many candidate ELEMENT
+# rows (shingles/tokens of candidate docs — the quantity driver memory
+# actually scales with, not the doc count) they are gathered to the driver
+# and verified with set ops; above it, the shuffle-join plan runs.  Both
+# paths are exact and tested equal — this is the small-input fast path,
+# not a correctness tradeoff.  ~5M int64 elements ≈ a few hundred MB of
+# Python sets, a safe driver bound.
+_GATHER_MAX_ELEMENTS = 5_000_000
 
 
 def _cand_elements(docs: "ray.data.Dataset", pairs_table: pa.Table,
@@ -205,11 +207,15 @@ def _cand_elements(docs: "ray.data.Dataset", pairs_table: pa.Table,
 def _verify_pairs(docs, pairs_table: pa.Table, element_rows,
                   thr_num: int, thr_den: int) -> pa.Table:
     """Exact verification of candidate pairs; picks the gather or shuffle
-    plan by candidate-set size (see _GATHER_MAX_DOCS)."""
+    plan by candidate ELEMENT count (see _GATHER_MAX_ELEMENTS).  The
+    element rows are materialized once either way — the shuffle plan feeds
+    them to three consumers, and the count that drives the plan choice is
+    then free metadata."""
     if pairs_table.num_rows == 0:
         return _PAIRS_SCHEMA.empty_table()
-    cand_ids, elements = _cand_elements(docs, pairs_table, element_rows)
-    if len(cand_ids) <= _GATHER_MAX_DOCS:
+    _cand_ids, elements = _cand_elements(docs, pairs_table, element_rows)
+    elements = elements.materialize()
+    if elements.count() <= _GATHER_MAX_ELEMENTS:
         return _verify_pairs_gather(pairs_table, elements,
                                     thr_num=thr_num, thr_den=thr_den)
     return _verify_pairs_shuffle(pairs_table, elements,
@@ -263,12 +269,10 @@ def _verify_pairs_shuffle(
     join, matching the gather/broadcast paths which also drop them).
     Shuffled bytes ∝ candidate-set elements, never the corpus.
     """
-    # materialize ONCE: the element rows feed three consumers (sizes + both
-    # joins) and would otherwise re-read + re-explode the docs table per
-    # consumer; volume is bounded by candidate-set elements (object-store
-    # blocks, spillable), never the corpus
-    elements = elements.materialize()
-
+    # elements arrive materialized from _verify_pairs (they feed three
+    # consumers here: sizes + both joins); volume is bounded by
+    # candidate-set elements (object-store blocks, spillable), never the
+    # corpus
     sizes = grouped_agg(elements, ["doc_id"], [(None, "count", "sz")])
 
     pairs_ds = ray.data.from_arrow(pairs_table)
@@ -555,6 +559,16 @@ def q_dedup_embedding(sf_dir: str, threshold: float = 0.99):
     emb = t(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 
     def to_buckets(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            # empty block: offsets has a single element — return the empty
+            # output shape instead of indexing offsets[1]
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "label": b.column("label"),
+                "embedding": b.column("embedding"),
+                "table_id": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.int64()),
+            })
         col = b.column("embedding")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()

@@ -421,6 +421,13 @@ def q_urgent_order_revenue(sf_dir: str):
         ("rev_ucents", "sum", "revenue_ucents"),
         (None, "count", "n_items"),
     ])
+    if tab.num_rows == 0:
+        # a keyless SQL aggregate always yields ONE row (NULL sum, count 0)
+        # even over an empty join — match that shape exactly
+        return pa.table({
+            "revenue_ucents": pa.array([None], pa.int64()),
+            "n_items": pa.array([0], pa.int64()),
+        })
     return tab.select(["revenue_ucents", "n_items"])
 
 

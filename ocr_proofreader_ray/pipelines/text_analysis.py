@@ -300,7 +300,11 @@ def q_text_normalize(sf_dir: str):
         text = pc.utf8_lower(b.column("text"))
         text = pc.replace_substring_regex(text, pattern=r"\s+",
                                           replacement=" ")
-        text = pc.utf8_trim_whitespace(text)
+        # trim SPACES only, exactly like DuckDB's trim(): Arrow's
+        # utf8_trim_whitespace also strips Unicode whitespace (VT, NBSP, …)
+        # that RE2's \s did not collapse, which would diverge from the
+        # oracle on such inputs (code-review r02 finding #1)
+        text = pc.utf8_trim(text, characters=" ")
         return pa.table({"doc_id": b.column("doc_id"), "norm_text": text})
 
     return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
@@ -309,6 +313,24 @@ def q_text_normalize(sf_dir: str):
 # ---------------------------------------------------------------------------
 # heavy hitters: exact top-K tokens per language (combiner + per-lang top-k)
 # ---------------------------------------------------------------------------
+
+def _explode_token_counts(b: pa.Table) -> pa.Table:
+    """(lang, text) batch -> per-batch (lang, tok, cnt) local counts.
+
+    Shared by the exact and CMS heavy-hitter paths so their tokenization
+    can never silently diverge (single-space split, matching the
+    string_split(text, ' ') oracle semantics)."""
+    import numpy as np
+
+    toks = pc.split_pattern(b.column("text"), pattern=" ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    row_idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+    langs = b.column("lang").take(pa.array(row_idx))
+    return (pa.table({"lang": langs, "tok": flat})
+            .group_by(["lang", "tok"]).aggregate([([], "count_all")])
+            .rename_columns(["lang", "tok", "cnt"]))
+
 
 @register(
     "q_heavy_hitters",
@@ -334,20 +356,7 @@ def q_heavy_hitters(sf_dir: str, k: int = 20):
     rank is a driver-side sort of the (small) global counts with the same
     (cnt DESC, tok ASC) total order as the SQL window."""
     ds = t(sf_dir, "documents", ["lang", "text"])
-
-    def explode_count(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        toks = pc.split_pattern(b.column("text"), pattern=" ")
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(toks)
-        row_idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
-        langs = b.column("lang").take(pa.array(row_idx))
-        return (pa.table({"lang": langs, "tok": flat})
-                .group_by(["lang", "tok"]).aggregate([([], "count_all")])
-                .rename_columns(["lang", "tok", "cnt"]))
-
-    partials = ds.map_batches(explode_count, batch_format="pyarrow",
+    partials = ds.map_batches(_explode_token_counts, batch_format="pyarrow",
                               zero_copy_batch=True)
     total = grouped_agg(partials, ["lang", "tok"], [("cnt", "sum", "cnt")])
     parts = []
@@ -392,14 +401,7 @@ def q_heavy_hitters_approx(sf_dir: str, k: int = 20, cand_per_lang: int = 60):
                          ).hash(seed=0).to_numpy().astype(np.uint64)
 
     def partial(b: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(b.column("text"), pattern=" ")
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(toks)
-        row_idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
-        langs = b.column("lang").take(pa.array(row_idx))
-        counts = (pa.table({"lang": langs, "tok": flat})
-                  .group_by(["lang", "tok"]).aggregate([([], "count_all")])
-                  .rename_columns(["lang", "tok", "cnt"]))
+        counts = _explode_token_counts(b)
         # one fixed-size sketch partial for this batch
         sk = CountMinSketch(width, depth)
         sk.add(_key_hashes(counts.column("lang"), counts.column("tok")),

@@ -203,7 +203,10 @@ class ImageFeatureStage:
                 if self.strict:
                     raise
                 w = h = frames = 0
-                body = np.zeros(0, np.uint8)
+                # zeros(1), matching DecodeStage's failure path exactly
+                # (body_bytes = 1 there) — the fused stage's equivalence
+                # contract covers the error path too
+                body = np.zeros(1, np.uint8)
             true_len = len(body)
             if true_len == 0:
                 body = np.zeros(1, np.uint8)

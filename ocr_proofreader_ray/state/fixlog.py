@@ -60,8 +60,11 @@ def load_fixlog(path: str | None) -> dict[str, dict[str, str]]:
         return {}
     tab = pq.read_table(path)
     out: dict[str, dict[str, str]] = {}
+    # normalize on LOAD as well as save: the CLI accepts any hand-authored
+    # parquet, and lookups key on the lowercase core — an uppercase entry
+    # would otherwise silently never match (code-review r02 finding #6)
     for lang, tok, rep in zip(tab.column("lang").to_pylist(),
                               tab.column("token").to_pylist(),
                               tab.column("replacement").to_pylist()):
-        out.setdefault(lang, {})[tok] = rep
+        out.setdefault(lang, {})[tok.lower()] = rep.lower()
     return out

@@ -84,3 +84,24 @@ def test_fixlog_e2e_resume_and_invalidation(ray_session, tmp_path):
     assert edited == fresh2
     assert any("qqqother" in t for t in edited.values())
     assert not any("zzzfixed" in t for t in edited.values())
+
+
+def test_fixlog_load_normalizes_case(tmp_path):
+    """Hand-authored parquets with uppercase entries must still apply
+    (code-review r02 finding #6): load normalizes like save does."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_proofreader_ray.state.fixlog import FIXLOG_SCHEMA
+
+    path = str(tmp_path / "raw_fixlog.parquet")
+    pq.write_table(pa.table({
+        "lang": ["en", "en"],
+        "token": ["Teh", "PINNED"],
+        "replacement": ["The", "PINNED"],
+    }, schema=FIXLOG_SCHEMA), path)
+    loaded = load_fixlog(path)
+    assert loaded == {"en": {"teh": "the", "pinned": "pinned"}}
+    sc = SpellCorrector({"the": 100}, overrides=loaded["en"])
+    assert sc.transform_token("Teh") == "The"   # case restored on apply
+    assert sc.transform_token("pinned") == "pinned"

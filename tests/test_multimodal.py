@@ -134,3 +134,21 @@ def test_fused_image_stage_matches_split_stages():
                 "mean_val", "std_val"):
         assert fused.column(col).equals(dec.column(col)), col
     assert fused.column("thumbnail").equals(thumb.column("thumbnail"))
+
+
+def test_fused_stage_matches_split_on_decode_failure():
+    """Equivalence must hold on the non-strict error path too (code-review
+    r02 finding #5): undecodable payloads get the same substitute body."""
+    import pyarrow as pa
+
+    from ocr_proofreader_ray.stages.media import DecodeStage, ImageFeatureStage
+
+    media = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "payload": pa.array([b"%PDF-not-an-image"], pa.binary()),
+    })
+    fused = ImageFeatureStage(8, False)(media)
+    dec = DecodeStage(False)(media)
+    for col in ("dec_w", "dec_h", "dec_frames", "body_bytes",
+                "mean_val", "std_val"):
+        assert fused.column(col).equals(dec.column(col)), col
