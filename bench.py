@@ -120,10 +120,13 @@ def run_bench() -> dict:
 
     work_dir = f"{BENCH_ROOT}/work_{NUM_CPUS}"
     shutil.rmtree(work_dir, ignore_errors=True)
-    # GRAFT_CORRECT_POOL=N pins the corrector pool width (scaling A/B knob)
+    # GRAFT_CORRECT_POOL=N pins the corrector pool width (scaling A/B knob);
+    # GRAFT_FILES_PER_CHUNK=N runs the pipeline CHUNKED (checkpoint commits
+    # + lookahead counters per chunk) instead of one chunk — the crawl shape
     pool = os.environ.get("GRAFT_CORRECT_POOL")
     cfg = ExtractionConfig(
-        input_paths=pages_glob, work_dir=work_dir, files_per_chunk=0,
+        input_paths=pages_glob, work_dir=work_dir,
+        files_per_chunk=int(os.environ.get("GRAFT_FILES_PER_CHUNK", "0")),
         correct_concurrency=(int(pool), int(pool)) if pool else None)
     t0 = time.time()
     run_extraction(cfg)

@@ -56,7 +56,7 @@ def cmd_build_dict(args) -> int:
         build_dictionary,
         discover_files,
         make_chunks,
-        run_pass1_chunk,
+        run_pass1_group,
     )
     from ocr_proofreader_ray.state import manifest as mstate
 
@@ -71,7 +71,7 @@ def cmd_build_dict(args) -> int:
             make_chunks(discover_files(cfg.input_paths), cfg.files_per_chunk)):
         fp = mstate.fingerprint_files(chunk_files)
         if not m1.completed(chunk_id, fp):
-            run_pass1_chunk(cfg, chunk_id, chunk_files, None)
+            run_pass1_group(cfg, [(chunk_id, chunk_files)], None)
             m1.record_done(chunk_id, fp, chunk_files, {}, 0.0)
     path = build_dictionary(cfg)
     print(json.dumps({"dict_path": path}))

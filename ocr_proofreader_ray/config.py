@@ -29,9 +29,9 @@ class ExtractionConfig:
 
     # parallelism / batching
     correct_batch_size: int = 128
-    # None → fixed (ncpu-2, ncpu-2) pool on wide hosts (≥16 CPUs; 2 CPUs
-    # stay free to feed/drain the pool), autoscaling (ncpu-1, ncpu) when
-    # narrow — see pipelines/extraction.py run_pass2_chunk
+    # None → fixed pool of ncpu - max(2, ncpu//8) actors (the reserved CPUs
+    # run the read/LPT/write tasks feeding the pool; measured in
+    # BASELINE.md round 2) — see pipelines/extraction.py _corrector_concurrency
     correct_concurrency: tuple[int, int] | int | None = None
     extract_num_cpus: float = 1.0
 
@@ -42,6 +42,14 @@ class ExtractionConfig:
 
     # checkpoint-resume granularity: input files per chunk; 0 → single chunk
     files_per_chunk: int = 64
+
+    # chunks processed per Dataset execution (both passes): one flat read
+    # and one actor pool / task pipeline serve the whole group instead of
+    # paying pipeline + pool startup and an execution barrier per chunk
+    # (barriers idle the entire cluster at every chunk boundary).  Outputs
+    # still commit atomically per chunk; a crash mid-group re-runs the
+    # group (bounded wasted work, identical bytes).
+    chunks_per_exec: int = 8
 
     # live-progress counter actor (advisory telemetry DURING a run).  The
     # manifest's per-chunk lineage counters do not depend on it — they are

@@ -555,6 +555,11 @@ def q_dedup_embedding(sf_dir: str, threshold: float = 0.99):
     12-table miss probability per true pair is (1-0.69)^12 ≈ 8e-7 — fixed
     by the seeded planes.  Pairs found in several tables dedup exactly on
     (vec_a, vec_b) keeping the identical cos_milli.
+
+    Cost note: the bucket groupby shuffles each embedding L=12 times (the
+    standard multi-table LSH duplication).  L trades recall against
+    shuffle volume — at extreme scale drop L or raise the per-table bits;
+    the miss probability above quantifies exactly what each setting buys.
     """
     emb = t(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 

@@ -80,11 +80,29 @@ def make_chunks(files: list[str], files_per_chunk: int) -> list[list[str]]:
 # --------------------------------------------------------------------------
 
 class _ExtractStage:
-    def __init__(self, lineage_name: str | None, chunk_id: int):
+    """Extract + tag each row with its source chunk (derived from the input
+    file path, so a grouped execution needs no per-chunk branches/unions —
+    a measured 2x pass-2 penalty came from `Dataset.union` of per-chunk
+    branches)."""
+
+    def __init__(self, lineage_name: str | None, chunk_id: int,
+                 path_to_chunk: dict[str, int] | None = None):
         self.lineage_name = lineage_name
         self.chunk_id = chunk_id
+        self.path_to_chunk = path_to_chunk or {}
+
+    def _chunk_ids(self, batch: pa.Table) -> pa.Array:
+        paths = batch.column("path").to_pylist()
+        lookup = self.path_to_chunk
+        return pa.array(
+            [lookup.get(p, lookup.get(os.path.abspath(p), -1))
+             for p in paths], pa.int32())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        chunk_col = None
+        if "path" in batch.schema.names:
+            chunk_col = self._chunk_ids(batch)
+            batch = batch.drop_columns(["path"])
         out = extract_batch(batch)
         mstate.report(
             self.lineage_name, self.chunk_id, "extract",
@@ -92,6 +110,8 @@ class _ExtractStage:
             bytes_in=int(pc.sum(out.column("html_bytes")).as_py() or 0),
             bytes_out=int(pc.sum(out.column("n_chars")).as_py() or 0),
         )
+        if chunk_col is not None:
+            out = out.append_column("chunk_id", chunk_col)
         return out
 
 
@@ -103,6 +123,13 @@ class _CorrectorStage(Corrector):
         self.chunk_id = chunk_id
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # grouped executions tag rows with their source chunk for the
+        # partitioned write; the column rides around the correction (rows
+        # map 1:1) and back onto the output
+        chunk_col = None
+        if "chunk_id" in batch.schema.names:
+            chunk_col = batch.column("chunk_id")
+            batch = batch.drop_columns(["chunk_id"])
         out = super().__call__(batch)
         mstate.report(
             self.lineage_name, self.chunk_id, "correct",
@@ -110,23 +137,84 @@ class _CorrectorStage(Corrector):
             bytes_in=int(pc.sum(pc.utf8_length(batch.column("raw_text"))).as_py() or 0),
             bytes_out=int(pc.sum(pc.utf8_length(out.column("extracted_text"))).as_py() or 0),
         )
+        if chunk_col is not None:
+            out = out.append_column("chunk_id", chunk_col)
         return out
+
+
+def _tag_chunk_from_dir(b: pa.Table) -> pa.Table:
+    """Recover chunk identity from the ``chunk-000NN`` directory of each
+    row's source file (include_paths read) — lets a grouped pass-2 do ONE
+    flat read over every pending chunk instead of per-chunk branches
+    (`Dataset.union` of branches measured ~2x slower than a flat read)."""
+    paths = b.column("path").to_pylist()
+    cids = [int(os.path.basename(os.path.dirname(p)).rsplit("-", 1)[1])
+            for p in paths]
+    return (b.drop_columns(["path"])
+            .append_column("chunk_id", pa.array(cids, pa.int32())))
 
 
 # --------------------------------------------------------------------------
 # passes
 # --------------------------------------------------------------------------
 
-def run_pass1_chunk(cfg: ExtractionConfig, chunk_id: int, files: list[str],
+# coalesce output files: Ray's read splits inputs into ~2xCPU blocks and
+# writes one file per block by default, fragmenting a chunk into hundreds
+# of ~1 MB files (measured: 208/chunk at sf0.1); 50k rows ≈ 30-60 MB
+_MIN_ROWS_PER_FILE = 50_000
+
+
+def _commit_partitioned(group_tmp: str, out_root: str,
+                        chunk_ids: list[int]) -> None:
+    """Atomically promote a partitioned write's chunk_id=K dirs to the
+    per-chunk chunk-000K layout (empty dir when a chunk had zero rows)."""
+    import shutil
+
+    for cid in chunk_ids:
+        src = os.path.join(group_tmp, f"chunk_id={cid}")
+        final = os.path.join(out_root, f"chunk-{cid:05d}")
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        if os.path.isdir(src):
+            os.replace(src, final)
+        else:
+            os.makedirs(final, exist_ok=True)
+    shutil.rmtree(group_tmp, ignore_errors=True)
+
+
+def run_pass1_group(cfg: ExtractionConfig,
+                    group: list[tuple[int, list[str]]],
                     lineage_name: str | None) -> dict:
-    raw_final = f"{cfg.raw_dir}/chunk-{chunk_id:05d}"
-    counts_final = f"{cfg.counts_dir}/chunk-{chunk_id:05d}"
+    """Extract + tokenize a GROUP of chunks in one Dataset execution each.
+
+    One flat read covers every chunk's files (chunk identity is recovered
+    from the file path — include_paths — so no per-chunk branches/unions);
+    the raw and counts writes partition on chunk_id and commit per chunk,
+    preserving chunk-granular resume.  A crash mid-group commits nothing
+    and the group re-runs — bounded wasted work, identical bytes.
+    """
+    import shutil
+
+    chunk_ids = [cid for cid, _f in group]
+    path_to_chunk = {os.path.abspath(p): cid
+                     for cid, files in group for p in files}
+    all_files = [p for _cid, files in group for p in files]
+
+    os.makedirs(cfg.raw_dir, exist_ok=True)
+    os.makedirs(cfg.counts_dir, exist_ok=True)
+    raw_tmp = os.path.join(cfg.raw_dir, ".group_tmp")
+    counts_tmp = os.path.join(cfg.counts_dir, ".group_tmp")
+    for d in (raw_tmp, counts_tmp):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
 
     t0 = time.time()
-    raw_tmp, commit_raw = mstate.atomic_output(raw_final)
-    ds = ray.data.read_parquet(files, columns=["url", "html", "lang"])
+    ds = ray.data.read_parquet(all_files, columns=["url", "html", "lang"],
+                               include_paths=True)
     ds = ds.map_batches(
-        _ExtractStage(lineage_name, chunk_id),
+        _ExtractStage(lineage_name,
+                      chunk_ids[0] if len(chunk_ids) == 1 else -1,
+                      path_to_chunk),
         batch_format="pyarrow",
         batch_size=None,  # byte-bounded blocks: whale pages can't blow memory
         num_cpus=cfg.extract_num_cpus,
@@ -134,25 +222,28 @@ def run_pass1_chunk(cfg: ExtractionConfig, chunk_id: int, files: list[str],
     )
     # materialize the extracted blocks (html already dropped, so this is the
     # NARROW table) so the tokenize pass consumes them from the object store
-    # instead of re-reading + zstd-decompressing the parquet it just wrote;
-    # memory is chunk-bounded and the store spills under pressure
+    # instead of re-reading + decompressing the parquet it just wrote;
+    # memory is group-bounded and the store spills under pressure
     raw_mat = ds.materialize()
     # snappy for the raw INTERMEDIATE (written once, read once on pass 2's
     # critical path — cheap decompress beats zstd's ~30% size win there);
     # counts and the final extracted output stay zstd
-    raw_mat.write_parquet(raw_tmp, compression="snappy")
-    commit_raw()
+    raw_mat.write_parquet(raw_tmp, compression="snappy",
+                          partition_cols=["chunk_id"],
+                          min_rows_per_file=_MIN_ROWS_PER_FILE)
+    _commit_partitioned(raw_tmp, cfg.raw_dir, chunk_ids)
     t_extract = time.time() - t0
 
     # token partials from the in-memory raw blocks — HTML is parsed exactly
-    # once even though the pipeline is two-pass
+    # once even though the pipeline is two-pass; partials key on chunk_id
+    # too so each chunk's counts commit (and invalidate) independently
     t0 = time.time()
-    counts_tmp, commit_counts = mstate.atomic_output(counts_final)
-    raw_mat.select_columns(["lang", "raw_text"]).map_batches(
+    raw_mat.select_columns(["chunk_id", "lang", "raw_text"]).map_batches(
         tokenize_count_batch, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
-    ).write_parquet(counts_tmp, compression="zstd")
-    commit_counts()
+    ).write_parquet(counts_tmp, compression="zstd",
+                    partition_cols=["chunk_id"])
+    _commit_partitioned(counts_tmp, cfg.counts_dir, chunk_ids)
     return {"extract_write_sec": round(t_extract, 3),
             "tokenize_write_sec": round(time.time() - t0, 3)}
 
@@ -224,28 +315,20 @@ def build_dictionary(cfg: ExtractionConfig) -> str:
     return cfg.dict_path
 
 
-def run_pass2_chunk(cfg: ExtractionConfig, chunk_id: int,
-                    lineage_name: str | None) -> None:
-    raw_final = f"{cfg.raw_dir}/chunk-{chunk_id:05d}"
-    out_final = f"{cfg.out_dir}/chunk-{chunk_id:05d}"
-    out_tmp, commit = mstate.atomic_output(out_final)
+def _lpt_order(b: pa.Table) -> pa.Table:
+    """Size-bucketed batching (north_star): whale pages are already
+    isolated into their own blocks by Ray's byte-bounded block splitting
+    (the explicit repartition); within each block, order biggest-first so
+    whale batches dispatch to the actor pool before the long tail of small
+    pages (LPT scheduling) and each batch is size-homogeneous.  A LOCAL
+    per-block sort — a global sort paid a full all-to-all shuffle of the
+    text column (~5.5 s at 50 k docs) for ordering that only matters
+    within a block."""
+    idx = pc.sort_indices(b, sort_keys=[("n_chars", "descending")])
+    return b.take(idx)
 
-    ds = ray.data.read_parquet(raw_final, columns=["url", "lang", "raw_text", "n_chars"])
-    if cfg.size_bucketing:
-        # size-bucketed batching (north_star): whale pages are already
-        # isolated into their own blocks by Ray's byte-bounded block
-        # splitting (the explicit repartition); within each block, order
-        # biggest-first so whale batches dispatch to the actor pool before
-        # the long tail of small pages (LPT scheduling) and each batch is
-        # size-homogeneous.  A LOCAL per-block sort — the previous global
-        # sort paid a full all-to-all shuffle of the text column (~5.5 s at
-        # 50 k docs) for ordering that only matters within a block.
-        def lpt_order(b: pa.Table) -> pa.Table:
-            idx = pc.sort_indices(b, sort_keys=[("n_chars", "descending")])
-            return b.take(idx)
 
-        ds = ds.map_batches(lpt_order, batch_format="pyarrow", zero_copy_batch=True)
-
+def _corrector_concurrency(cfg: ExtractionConfig) -> tuple[int, int] | int:
     concurrency = cfg.correct_concurrency
     if concurrency is None:
         ncpu = int(ray.cluster_resources().get("CPU", 4))
@@ -259,18 +342,59 @@ def run_pass2_chunk(cfg: ExtractionConfig, chunk_id: int,
         # (57.0s both), so the reserve is about CPU slots, not disk.
         w = max(1, ncpu - max(2, ncpu // 8))
         concurrency = (w, w)
+    return concurrency
+
+
+def run_pass2_group(cfg: ExtractionConfig, chunk_ids: list[int],
+                    lineage_name: str | None) -> None:
+    """Correct a GROUP of chunks in one Dataset execution.
+
+    One corrector actor pool serves every chunk in the group (pool startup
+    — N actors x dictionary load — was paid per chunk before: measured 54s
+    vs 13s for the same 8-chunk workload at sf0.1/32, and on a real
+    cluster every per-chunk execution barrier idles all nodes).  Rows are
+    tagged with their source chunk and the write partitions on it, so each
+    chunk's output directory still commits atomically and resume
+    granularity is unchanged; a crash mid-group commits nothing and the
+    group re-runs (bounded wasted work, identical bytes)."""
+    import shutil
+
+    group_tmp = os.path.join(cfg.out_dir, ".group_tmp")
+    if os.path.isdir(group_tmp):
+        shutil.rmtree(group_tmp)
+    os.makedirs(cfg.out_dir, exist_ok=True)
+
+    raw_files = [f for cid in chunk_ids
+                 for f in sorted(globmod.glob(
+                     f"{cfg.raw_dir}/chunk-{cid:05d}/*.parquet"))]
+    if not raw_files:  # every chunk in the group was empty
+        for cid in chunk_ids:
+            os.makedirs(f"{cfg.out_dir}/chunk-{cid:05d}", exist_ok=True)
+        return
+    ds = ray.data.read_parquet(
+        raw_files, columns=["url", "lang", "raw_text", "n_chars"],
+        include_paths=True)
+    ds = ds.map_batches(_tag_chunk_from_dir, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    if cfg.size_bucketing:
+        ds = ds.map_batches(_lpt_order, batch_format="pyarrow",
+                            zero_copy_batch=True)
     ds = ds.map_batches(
         _CorrectorStage,
-        fn_constructor_args=(cfg.dict_path, lineage_name, chunk_id,
+        fn_constructor_args=(cfg.dict_path, lineage_name,
+                             chunk_ids[0] if len(chunk_ids) == 1 else -1,
                              cfg.fix_log_path),
         batch_format="pyarrow",
         batch_size=cfg.correct_batch_size,
-        concurrency=concurrency,
+        concurrency=_corrector_concurrency(cfg),
         num_cpus=1,
         zero_copy_batch=True,
     )
-    ds.write_parquet(out_tmp, compression="zstd")
-    commit()
+    ds.write_parquet(group_tmp, compression="zstd",
+                     partition_cols=["chunk_id"],
+                     min_rows_per_file=_MIN_ROWS_PER_FILE)
+    _commit_partitioned(group_tmp, cfg.out_dir, chunk_ids)
 
 
 # --------------------------------------------------------------------------
@@ -380,13 +504,12 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
     pending: list = []
 
     def flush_pending() -> None:
-        if not pending:
-            return
-        manifest, chunk_id, fp, chunk_files, resolve, wall, extra = \
-            pending.pop()
         tc = time.time()
-        manifest.record_done(chunk_id, fp, chunk_files, resolve(), wall,
-                             extra=extra)
+        while pending:
+            manifest, chunk_id, fp, chunk_files, resolve, wall, extra = \
+                pending.pop(0)
+            manifest.record_done(chunk_id, fp, chunk_files, resolve(), wall,
+                                 extra=extra)
         timings["counters_sec"] += time.time() - tc
 
     def pass2_resolver(chunk_id: int, raw_dir: str, out_dir: str,
@@ -420,29 +543,36 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
         return (f"{cfg.raw_dir}/chunk-{chunk_id:05d}",
                 f"{cfg.out_dir}/chunk-{chunk_id:05d}" if with_pass2 else None)
 
-    dict_needed = not os.path.exists(cfg.dict_path)
+    group_n = max(1, cfg.chunks_per_exec)
+    pending1 = []
     for chunk_id, chunk_files in enumerate(chunks):
         fp = mstate.fingerprint_files(chunk_files)
-        if m1.completed(chunk_id, fp):
-            continue
+        if not m1.completed(chunk_id, fp):
+            pending1.append((chunk_id, fp, chunk_files))
+
+    dict_needed = not os.path.exists(cfg.dict_path) or bool(pending1)
+    for g in range(0, len(pending1), group_n):
+        grp = pending1[g:g + group_n]
         t0 = time.time()
-        stage_t = run_pass1_chunk(cfg, chunk_id, chunk_files, lineage_name)
+        stage_t = run_pass1_group(
+            cfg, [(cid, files) for cid, _fp, files in grp], lineage_name)
         wall = time.time() - t0
-        raw_dir, out_dir = chunk_dirs(chunk_id, False)
-        refs = _launch_counter_sums(raw_dir, out_dir)
-        n_rows = chunk_rows(chunk_files)
-        resolve1 = (lambda refs=refs, raw_dir=raw_dir, n_rows=n_rows:
-                    _resolve_chunk_counters(refs, raw_dir, None, n_rows))
         flush_pending()
-        pending.append((m1, chunk_id, fp, chunk_files, resolve1,
-                        wall, {"stage_sec": stage_t}))
+        for cid, fp, chunk_files in grp:
+            raw_dir, _out = chunk_dirs(cid, False)
+            refs = _launch_counter_sums(raw_dir, None)
+            n_rows = chunk_rows(chunk_files)
+            resolve1 = (lambda refs=refs, raw_dir=raw_dir, n_rows=n_rows:
+                        _resolve_chunk_counters(refs, raw_dir, None, n_rows))
+            pending.append((m1, cid, fp, chunk_files, resolve1, wall,
+                            {"stage_sec": stage_t,
+                             "group_chunks": [c for c, _x, _y in grp]}))
         timings["pass1_sec"] += wall
         for k, v in stage_t.items():
             timings["pass1_stages"][k] = round(
                 timings["pass1_stages"].get(k, 0.0) + v, 3)
-        dict_needed = True  # counts changed → rebuild dictionary
-    # the last pass-1 chunk's counters stay pending ACROSS the dictionary
-    # build and the first pass-2 chunk — maximal overlap
+    # the last pass-1 group's counters stay pending ACROSS the dictionary
+    # build and the first pass-2 group — maximal overlap
 
     if dict_needed:
         t0 = time.time()
@@ -457,17 +587,23 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
     dict_fp = mstate.fingerprint_content(cfg.dict_path)
     if cfg.fix_log_path:
         dict_fp += ":" + mstate.fingerprint_content(cfg.fix_log_path)
-    for chunk_id, chunk_files in enumerate(chunks):
-        fp = mstate.fingerprint_files(chunk_files) + ":" + dict_fp
-        if m2.completed(chunk_id, fp):
-            continue
+    pending2 = [(chunk_id, mstate.fingerprint_files(chunk_files) + ":" + dict_fp,
+                 chunk_files)
+                for chunk_id, chunk_files in enumerate(chunks)]
+    pending2 = [(cid, fp, files) for cid, fp, files in pending2
+                if not m2.completed(cid, fp)]
+    group_n = max(1, cfg.chunks_per_exec)
+    for g in range(0, len(pending2), group_n):
+        group = pending2[g:g + group_n]
         t0 = time.time()
-        run_pass2_chunk(cfg, chunk_id, lineage_name)
+        run_pass2_group(cfg, [cid for cid, _fp, _f in group], lineage_name)
         wall = time.time() - t0
-        raw_dir, out_dir = chunk_dirs(chunk_id, True)
-        flush_pending()  # pass-1's record must exist before the resolver reads it
-        resolve2 = pass2_resolver(chunk_id, raw_dir, out_dir, chunk_files)
-        pending.append((m2, chunk_id, fp, chunk_files, resolve2, wall, None))
+        flush_pending()  # pass-1 records must exist before resolvers read them
+        for cid, fp, chunk_files in group:
+            raw_dir, out_dir = chunk_dirs(cid, True)
+            resolve2 = pass2_resolver(cid, raw_dir, out_dir, chunk_files)
+            pending.append((m2, cid, fp, chunk_files, resolve2, wall,
+                            {"group_chunks": [c for c, _x, _y in group]}))
         timings["pass2_sec"] += wall
     flush_pending()
 

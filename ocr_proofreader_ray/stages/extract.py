@@ -54,6 +54,11 @@ COUNTS_SCHEMA = pa.schema(
     [("lang", pa.string()), ("token", pa.string()), ("count", pa.int64())]
 )
 
+GROUPED_COUNTS_SCHEMA = pa.schema(
+    [("chunk_id", pa.int32()), ("lang", pa.string()),
+     ("token", pa.string()), ("count", pa.int64())]
+)
+
 
 def tokenize_count_batch(batch: pa.Table) -> pa.Table:
     """Per-batch partial token counts: (lang, raw_text) -> (lang, token, count).
@@ -61,19 +66,33 @@ def tokenize_count_batch(batch: pa.Table) -> pa.Table:
     This is the combiner half of the dictionary build: the subsequent
     ``groupby(["lang","token"])`` shuffles only these compact partials, never
     document text (SURVEY.md §4 "shuffle" row / FP-Hadoop-style partials).
+    An optional ``chunk_id`` column keys the partials per chunk too, so a
+    grouped pass-1 execution can partition the counts write per chunk
+    (independent commit/invalidation) in one pass.
     """
-    per_lang: dict[str, Counter] = {}
+    grouped = "chunk_id" in batch.schema.names
+    chunks = (batch.column("chunk_id").to_pylist() if grouped
+              else [0] * batch.num_rows)
+    per_key: dict[tuple[int, str], Counter] = {}
     langs = batch.column("lang").to_pylist()
     texts = batch.column("raw_text").to_pylist()
-    for lang, text in zip(langs, texts):
-        per_lang.setdefault(lang, Counter()).update(count_tokens(text or ""))
-    out_lang, out_tok, out_cnt = [], [], []
-    for lang in sorted(per_lang):
-        counter = per_lang[lang]
+    for cid, lang, text in zip(chunks, langs, texts):
+        per_key.setdefault((cid, lang), Counter()).update(
+            count_tokens(text or ""))
+    out_cid, out_lang, out_tok, out_cnt = [], [], [], []
+    for cid, lang in sorted(per_key):
+        counter = per_key[(cid, lang)]
         for tok in sorted(counter):
+            out_cid.append(cid)
             out_lang.append(lang)
             out_tok.append(tok)
             out_cnt.append(counter[tok])
+    if grouped:
+        return pa.table(
+            {"chunk_id": out_cid, "lang": out_lang,
+             "token": out_tok, "count": out_cnt},
+            schema=GROUPED_COUNTS_SCHEMA,
+        )
     return pa.table(
         {"lang": out_lang, "token": out_tok, "count": out_cnt},
         schema=COUNTS_SCHEMA,
