@@ -178,32 +178,56 @@ def _burn(_):
     return x
 
 
-def hardware_ceiling(lo: int, hi: int) -> dict:
-    """Max achievable N->4N efficiency for CPU-bound work on THIS host.
+def _burn_mem(_):
+    """Memory-bandwidth-bound fixed work: ~160 MB working set, far beyond
+    the LLC, so concurrent copies contend on the die's memory controllers
+    rather than ALUs."""
+    import numpy as np
 
-    Runs identical fixed work in lo and hi concurrent processes.  On the
-    sandbox VM the vCPUs are throttled under load (measured ~58% parallel
-    efficiency at 32 processes vs 1), so a pipeline can never reach raw 0.8
-    from 8->32 here — a real cluster adds nodes, not contended threads on
-    one die.  ceiling = (hi*eff_hi) / (lo*eff_lo) / (hi/lo)."""
+    arr = np.arange(20_000_000, dtype=np.float64)
+    s = 0.0
+    for _ in range(6):
+        s += float(arr.sum())
+        arr = arr * 1.0000001
+    return s
+
+
+def hardware_ceiling(lo: int, hi: int) -> dict:
+    """Max achievable lo->hi efficiency on THIS host, for two workload
+    poles: ALU-bound (contended/throttled vCPUs) and memory-bandwidth-bound
+    (one die's memory controllers shared by every process).
+
+    A data pipeline is a mix of both, so its raw lo->hi efficiency is
+    bounded between the two ceilings; a real N->4N NODE scale-out
+    multiplies cores, memory bandwidth AND disks by 4 (both ceilings ~1.0
+    there), which is why the sandbox numbers need this attribution.
+    ceiling = (hi*eff_hi) / (lo*eff_lo) / (hi/lo)."""
     import multiprocessing as mp
     import time as _t
 
-    def elapsed(n: int) -> float:
+    def elapsed_once(fn, n: int) -> float:
         t0 = _t.time()
         with mp.get_context("fork").Pool(n) as p:
-            p.map(_burn, range(n))
+            p.map(fn, range(n))
         return _t.time() - t0
 
-    t1 = min(elapsed(1), elapsed(1))
-    t_lo, t_hi = elapsed(lo), elapsed(hi)
-    eff_lo, eff_hi = t1 / t_lo, t1 / t_hi
-    return {
-        "burn_sec_1": round(t1, 3),
-        f"burn_sec_{lo}": round(t_lo, 3),
-        f"burn_sec_{hi}": round(t_hi, 3),
-        "ceiling": round((hi * eff_hi) / (lo * eff_lo) / (hi / lo), 3),
-    }
+    def elapsed(fn, n: int) -> float:
+        # best-of-2 per leg: a single noise burst during one leg otherwise
+        # corrupts the ceiling in either direction
+        return min(elapsed_once(fn, n), elapsed_once(fn, n))
+
+    out = {}
+    for name, fn in (("alu", _burn), ("mem", _burn_mem)):
+        t1 = elapsed(fn, 1)
+        t_lo, t_hi = elapsed(fn, lo), elapsed(fn, hi)
+        eff_lo, eff_hi = t1 / t_lo, t1 / t_hi
+        out[f"{name}_burn_sec_1"] = round(t1, 3)
+        out[f"{name}_burn_sec_{lo}"] = round(t_lo, 3)
+        out[f"{name}_burn_sec_{hi}"] = round(t_hi, 3)
+        out[f"{name}_ceiling"] = round(
+            (hi * eff_hi) / (lo * eff_lo) / (hi / lo), 3)
+    out["ceiling"] = out["alu_ceiling"]  # conservative normalization basis
+    return out
 
 
 def run_scaling() -> dict:
@@ -248,6 +272,8 @@ def run_scaling() -> dict:
         "stages_8": r_lo.get("stages", {}),
         "stages_32": r_hi.get("stages", {}),
         "hw_ceiling": hw["ceiling"],
+        "hw_ceiling_alu": hw["alu_ceiling"],
+        "hw_ceiling_mem": hw["mem_ceiling"],
         "normalized_efficiency": round(eff / hw["ceiling"], 3) if hw["ceiling"] else None,
         "hw_burn": hw,
         "sf": SF_DIR,
