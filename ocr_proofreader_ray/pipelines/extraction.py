@@ -170,6 +170,15 @@ def _tag_chunk_from_dir(b: pa.Table) -> pa.Table:
 _MIN_ROWS_PER_FILE = 50_000
 
 
+def _replace_dir(src: str, final: str) -> None:
+    """Atomic dir promotion: replace any stale final dir with src."""
+    import shutil
+
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.replace(src, final)
+
+
 def _commit_partitioned(group_tmp: str, out_root: str,
                         chunk_ids: list[int]) -> None:
     """Atomically promote a partitioned write's chunk_id=K dirs to the
@@ -214,13 +223,17 @@ def run_pass1_group(cfg: ExtractionConfig,
         if os.path.isdir(d):
             shutil.rmtree(d)
 
+    # single-chunk fast path: no path tagging or partitioned write needed —
+    # the whole execution belongs to one chunk
+    single = len(group) == 1
+
     t0 = time.time()
     ds = ray.data.read_parquet(all_files, columns=["url", "html", "lang"],
-                               include_paths=True)
+                               include_paths=not single)
     ds = ds.map_batches(
         _ExtractStage(lineage_name,
-                      chunk_ids[0] if len(chunk_ids) == 1 else -1,
-                      path_to_chunk),
+                      chunk_ids[0] if single else -1,
+                      None if single else path_to_chunk),
         batch_format="pyarrow",
         batch_size=None,  # byte-bounded blocks: whale pages can't blow memory
         num_cpus=cfg.extract_num_cpus,
@@ -234,22 +247,34 @@ def run_pass1_group(cfg: ExtractionConfig,
     # snappy for the raw INTERMEDIATE (written once, read once on pass 2's
     # critical path — cheap decompress beats zstd's ~30% size win there);
     # counts and the final extracted output stay zstd
-    raw_mat.write_parquet(raw_tmp, compression="snappy",
-                          partition_cols=["chunk_id"],
-                          min_rows_per_file=_MIN_ROWS_PER_FILE)
-    _commit_partitioned(raw_tmp, cfg.raw_dir, chunk_ids)
+    if single:
+        raw_mat.write_parquet(raw_tmp, compression="snappy",
+                              min_rows_per_file=_MIN_ROWS_PER_FILE)
+        _replace_dir(raw_tmp, f"{cfg.raw_dir}/chunk-{chunk_ids[0]:05d}")
+    else:
+        raw_mat.write_parquet(raw_tmp, compression="snappy",
+                              partition_cols=["chunk_id"],
+                              min_rows_per_file=_MIN_ROWS_PER_FILE)
+        _commit_partitioned(raw_tmp, cfg.raw_dir, chunk_ids)
     t_extract = time.time() - t0
 
     # token partials from the in-memory raw blocks — HTML is parsed exactly
     # once even though the pipeline is two-pass; partials key on chunk_id
     # too so each chunk's counts commit (and invalidate) independently
     t0 = time.time()
-    raw_mat.select_columns(["chunk_id", "lang", "raw_text"]).map_batches(
+    tok_cols = (["lang", "raw_text"] if single
+                else ["chunk_id", "lang", "raw_text"])
+    counts_ds = raw_mat.select_columns(tok_cols).map_batches(
         tokenize_count_batch, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
-    ).write_parquet(counts_tmp, compression="zstd",
-                    partition_cols=["chunk_id"])
-    _commit_partitioned(counts_tmp, cfg.counts_dir, chunk_ids)
+    )
+    if single:
+        counts_ds.write_parquet(counts_tmp, compression="zstd")
+        _replace_dir(counts_tmp, f"{cfg.counts_dir}/chunk-{chunk_ids[0]:05d}")
+    else:
+        counts_ds.write_parquet(counts_tmp, compression="zstd",
+                                partition_cols=["chunk_id"])
+        _commit_partitioned(counts_tmp, cfg.counts_dir, chunk_ids)
     return {"extract_write_sec": round(t_extract, 3),
             "tokenize_write_sec": round(time.time() - t0, 3)}
 
@@ -377,11 +402,14 @@ def run_pass2_group(cfg: ExtractionConfig, chunk_ids: list[int],
         for cid in chunk_ids:
             os.makedirs(f"{cfg.out_dir}/chunk-{cid:05d}", exist_ok=True)
         return
+    # single-chunk fast path: no path tagging or partitioned write needed
+    single = len(chunk_ids) == 1
     ds = ray.data.read_parquet(
         raw_files, columns=["url", "lang", "raw_text", "n_chars"],
-        include_paths=True)
-    ds = ds.map_batches(_tag_chunk_from_dir, batch_format="pyarrow",
-                        zero_copy_batch=True)
+        include_paths=not single)
+    if not single:
+        ds = ds.map_batches(_tag_chunk_from_dir, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
     if cfg.size_bucketing:
         ds = ds.map_batches(_lpt_order, batch_format="pyarrow",
@@ -389,7 +417,7 @@ def run_pass2_group(cfg: ExtractionConfig, chunk_ids: list[int],
     ds = ds.map_batches(
         _CorrectorStage,
         fn_constructor_args=(cfg.dict_path, lineage_name,
-                             chunk_ids[0] if len(chunk_ids) == 1 else -1,
+                             chunk_ids[0] if single else -1,
                              cfg.fix_log_path),
         batch_format="pyarrow",
         batch_size=cfg.correct_batch_size,
@@ -397,10 +425,15 @@ def run_pass2_group(cfg: ExtractionConfig, chunk_ids: list[int],
         num_cpus=1,
         zero_copy_batch=True,
     )
-    ds.write_parquet(group_tmp, compression="zstd",
-                     partition_cols=["chunk_id"],
-                     min_rows_per_file=_MIN_ROWS_PER_FILE)
-    _commit_partitioned(group_tmp, cfg.out_dir, chunk_ids)
+    if single:
+        ds.write_parquet(group_tmp, compression="zstd",
+                         min_rows_per_file=_MIN_ROWS_PER_FILE)
+        _replace_dir(group_tmp, f"{cfg.out_dir}/chunk-{chunk_ids[0]:05d}")
+    else:
+        ds.write_parquet(group_tmp, compression="zstd",
+                         partition_cols=["chunk_id"],
+                         min_rows_per_file=_MIN_ROWS_PER_FILE)
+        _commit_partitioned(group_tmp, cfg.out_dir, chunk_ids)
 
 
 # --------------------------------------------------------------------------
