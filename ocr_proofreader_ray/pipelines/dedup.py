@@ -180,14 +180,37 @@ def _candidate_pairs(bands: "ray.data.Dataset",
 _GATHER_MAX_ELEMENTS = 5_000_000
 
 
+# above this many candidate docs, the semi-filter ships a fixed-size Bloom
+# filter instead of the exact id set; Bloom false positives only explode a
+# few extra docs' elements (they appear in no pair, so joins/lookup drop
+# them) — results are identical, only wasted work is bounded
+_BLOOM_SEMI_THRESHOLD = 2_000_000
+
+
 def _cand_elements(docs: "ray.data.Dataset", pairs_table: pa.Table,
-                   element_rows) -> tuple[pa.Array, "ray.data.Dataset"]:
+                   element_rows,
+                   bloom_threshold: int = _BLOOM_SEMI_THRESHOLD,
+                   ) -> tuple[pa.Array, "ray.data.Dataset"]:
     """Candidate doc ids + their exploded (doc_id, el) element rows."""
     cand_ids = pa.concat_arrays([
         pairs_table.column("doc_a").combine_chunks(),
         pairs_table.column("doc_b").combine_chunks(),
     ]).unique()
-    cand_docs = broadcast_semi_anti(docs, cand_ids, on="doc_id")
+    if len(cand_ids) > bloom_threshold:
+        from ocr_proofreader_ray.functions.bloom import BloomFilter
+
+        bf = BloomFilter(len(cand_ids), fpp=0.01)
+        bf.add_column(cand_ids)
+        bref = ray.put(bf)
+
+        def bloom_filter(b: pa.Table) -> pa.Table:
+            f = ray.get(bref)
+            return b.filter(pa.array(f.contains_column(b.column("doc_id"))))
+
+        cand_docs = docs.map_batches(bloom_filter, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    else:
+        cand_docs = broadcast_semi_anti(docs, cand_ids, on="doc_id")
 
     def explode(b: pa.Table) -> pa.Table:
         ids, els = [], []

@@ -184,3 +184,40 @@ def test_simhash_hamming_finds_planted_neardups(ray_session):
     assert found[(1, 2)] == d_near
     assert found[(2, 4)] == d_near
     assert not any(3 in k for k in found)
+
+
+def test_cand_elements_bloom_path_identical(ray_session):
+    """Forcing the Bloom semi-filter (threshold 0) must yield the same
+    verified pairs as the exact key-set path — FPs only waste explode work."""
+    import ray.data
+
+    from ocr_proofreader_ray.pipelines.dedup import (
+        _band_rows,
+        _candidate_pairs,
+        _cand_elements,
+        _verify_pairs_gather,
+    )
+
+    base = " ".join(f"tok{i % 40}x{i % 7}" for i in range(120))
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base.replace("tok3x3", "changed", 1)},
+        {"doc_id": 3, "text": " ".join(f"zzz{i}" for i in range(120))},
+        {"doc_id": 4, "text": base},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    pairs_table = _candidate_pairs(_band_rows(ds, 3))
+
+    def shingle_elements(text):
+        return [h - (1 << 63) for h in shingles((text or "").split(), n=3)]
+
+    results = []
+    for threshold in (10**9, 0):  # exact path, then forced Bloom path
+        _, elements = _cand_elements(ds, pairs_table, shingle_elements,
+                                     bloom_threshold=threshold)
+        out = _verify_pairs_gather(pairs_table, elements,
+                                   thr_num=500_000, thr_den=1_000_000)
+        results.append({(r["doc_a"], r["doc_b"], r["inter"], r["uni"])
+                        for r in out.to_pylist()})
+    assert results[0] == results[1]
+    assert any(p[:2] == (1, 4) for p in results[0])
