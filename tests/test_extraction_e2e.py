@@ -154,3 +154,25 @@ def test_lineage_counters_recorded(ray_session, pages_dir, tmp_path):
         assert c["bytes_in"] > c["bytes_out"] > 0  # html >> text
         total_rows += c["rows_out"]
     assert total_rows == 200
+
+
+def test_group_size_invariance(ray_session, pages_dir, tmp_path):
+    """north_rule byte-identity extends to the execution grouping: running
+    4 chunks one-per-execution vs all-in-one-group must produce identical
+    bytes (grouping only changes scheduling, never content)."""
+    import glob as _glob
+
+    from ocr_proofreader_ray.config import ExtractionConfig
+
+    outs = {}
+    for label, group_n in (("serial", 1), ("grouped", 4)):
+        cfg = ExtractionConfig(
+            input_paths=sorted(_glob.glob(f"{pages_dir}/pages-*.parquet")),
+            work_dir=str(tmp_path / f"work_{label}"),
+            files_per_chunk=1,  # 4 chunks
+            chunks_per_exec=group_n,
+        )
+        ds = run_extraction(cfg)
+        outs[label] = {r["url"]: (r["extracted_text"], r["n_tokens"])
+                       for r in ds.take_all()}
+    assert outs["serial"] == outs["grouped"]
