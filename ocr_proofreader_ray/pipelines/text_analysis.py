@@ -457,3 +457,68 @@ def q_heavy_hitters_approx(sf_dir: str, k: int = 20, cand_per_lang: int = 60):
                                               ("tok", "ascending")])
         parts.append(sub.take(idx[:k]))
     return pa.concat_tables(parts)
+
+
+@register(
+    "q_doc_length_quantiles",
+    sql="""
+    SELECT lang,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+                AS BIGINT) AS p50,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)
+                AS BIGINT) AS p90,
+           CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars)
+                AS BIGINT) AS p99,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def q_doc_length_quantiles(sf_dir: str):
+    """EXACT per-language document-length quantiles at any corpus scale.
+
+    The trick is a VALUE-HISTOGRAM combiner: per-batch pyarrow group_by on
+    (lang, n_chars) means the shuffled/merged state is bounded by the
+    number of DISTINCT lengths per language (≤ max doc length), never the
+    document count — so exact discrete percentiles survive 10^12 docs
+    without a global sort or a quantile sketch.  Driver finishes with a
+    weighted rank lookup matching percentile_disc: the value at 1-indexed
+    rank ceil(p*n) of the sorted multiset.
+    """
+    import numpy as np
+
+    ds = t(sf_dir, "documents", ["lang", "n_chars"])
+    hist = grouped_agg(ds, ["lang", "n_chars"], [(None, "count", "cnt")])
+
+    out = {"lang": [], "p50": [], "p90": [], "p99": [], "n_docs": []}
+    idx = pc.sort_indices(hist, sort_keys=[("lang", "ascending"),
+                                           ("n_chars", "ascending")])
+    hist = hist.take(idx)
+    langs = hist.column("lang").to_pylist()
+    vals = hist.column("n_chars").to_numpy(zero_copy_only=False)
+    cnts = hist.column("cnt").to_numpy(zero_copy_only=False)
+    import itertools
+
+    pos = 0
+    for lang, grp in itertools.groupby(range(len(langs)),
+                                       key=lambda i: langs[i]):
+        ii = list(grp)
+        v, c = vals[ii], cnts[ii]
+        n = int(c.sum())
+        cum = np.cumsum(c)
+
+        def rank_value(p):
+            rank = max(1, int(np.ceil(p * n)))
+            return int(v[int(np.searchsorted(cum, rank))])
+
+        out["lang"].append(lang)
+        out["p50"].append(rank_value(0.5))
+        out["p90"].append(rank_value(0.9))
+        out["p99"].append(rank_value(0.99))
+        out["n_docs"].append(n)
+    return pa.table({
+        "lang": pa.array(out["lang"]),
+        "p50": pa.array(out["p50"], pa.int64()),
+        "p90": pa.array(out["p90"], pa.int64()),
+        "p99": pa.array(out["p99"], pa.int64()),
+        "n_docs": pa.array(out["n_docs"], pa.int64()),
+    })
