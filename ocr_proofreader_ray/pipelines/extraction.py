@@ -454,17 +454,12 @@ def _col_sum(d: str, col: str) -> int:
     return total
 
 
-def _chunk_counters(raw_dir: str, out_dir: str | None,
-                    input_rows: int) -> dict:
-    """Exact per-chunk, per-stage counters derived from the COMMITTED
-    parquet outputs — facts about data on disk, not messages racing the
-    execution.  Row counts come from footer metadata (driver-cheap); the
-    three column sums run as PARALLEL Ray tasks — the old single serial
-    task cost a fixed ~3.4s per bench run at any CPU count, a pure
-    scaling-efficiency tax on the 32-CPU leg."""
-    refs = _launch_counter_sums(raw_dir, out_dir)
-    return _resolve_chunk_counters(refs, raw_dir, out_dir, input_rows)
-
+# Per-chunk, per-stage counters are derived EXACTLY from the COMMITTED
+# parquet outputs — facts about data on disk, not messages racing the
+# execution.  Row counts come from footer metadata (driver-cheap); column
+# sums run as PARALLEL Ray tasks, launched when a chunk commits and
+# resolved one group later (_launch_counter_sums / _resolve_chunk_counters
+# + the pending/flush lookahead in run_extraction).
 
 def _launch_counter_sums(raw_dir: str, out_dir: str | None) -> list:
     """Kick off the column-sum tasks WITHOUT waiting — the driver loop

@@ -110,7 +110,7 @@ def report(name: str | None, chunk_id: int, stage: str, rows_in: int,
 
 # NOTE: the manifest's per-chunk counters are no longer sourced from this
 # actor — they are derived exactly from committed parquet outputs
-# (pipelines/extraction.py::_chunk_counters).  The actor remains as optional
+# (pipelines/extraction.py::_resolve_chunk_counters).  The actor remains as optional
 # LIVE progress telemetry (enable_lineage); snapshots are advisory.
 
 
