@@ -176,3 +176,28 @@ def test_group_size_invariance(ray_session, pages_dir, tmp_path):
         outs[label] = {r["url"]: (r["extracted_text"], r["n_tokens"])
                        for r in ds.take_all()}
     assert outs["serial"] == outs["grouped"]
+
+
+def test_stale_group_tmp_is_ignored_and_cleaned(ray_session, pages_dir, tmp_path):
+    """Simulated crash artifact: a stale .group_tmp (from a run that died
+    after writing but before committing) must be wiped on the next run and
+    never contaminate output."""
+    work = str(tmp_path / "work")
+    cfg = ExtractionConfig(
+        input_paths=sorted(glob.glob(f"{pages_dir}/pages-*.parquet")),
+        work_dir=work,
+        files_per_chunk=2,
+    )
+    # plant junk where a crashed grouped execution would leave it
+    for sub in ("raw_extracted", "token_counts", "extracted"):
+        junk = os.path.join(work, sub, ".group_tmp", "chunk_id=0")
+        os.makedirs(junk, exist_ok=True)
+        with open(os.path.join(junk, "garbage.parquet"), "wb") as f:
+            f.write(b"not parquet at all")
+
+    ds = run_extraction(cfg)
+    got = {r["url"]: r["extracted_text"] for r in ds.take_all()}
+    golden = _golden_map(pages_dir)
+    assert {u: g["extracted_text"] for u, g in golden.items()} == got
+    for sub in ("raw_extracted", "token_counts", "extracted"):
+        assert not os.path.exists(os.path.join(work, sub, ".group_tmp"))
