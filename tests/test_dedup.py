@@ -186,6 +186,60 @@ def test_simhash_hamming_finds_planted_neardups(ray_session):
     assert not any(3 in k for k in found)
 
 
+def test_lsh_flood_bucket_emits_star_pairs(ray_session):
+    """VERDICT r02 #1: m identical templated pages (boilerplate flood) must
+    produce O(m) candidate pairs — star edges to the bucket min — not m^2/2,
+    and still resolve to ONE dedup cluster with the min doc_id as rep."""
+    import ray.data
+
+    from ocr_proofreader_ray.pipelines.dedup import (
+        _band_rows,
+        _candidate_pairs,
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    m = 10_000
+    template = " ".join(f"boiler{i}" for i in range(12))
+    tab = pa.table({
+        "doc_id": pa.array(np.arange(1, m + 1), pa.int64()),
+        "text": pa.array([template] * m),
+    })
+    ds = ray.data.from_arrow(tab)
+
+    cand = _candidate_pairs(_band_rows(ds, 3))
+    assert cand.num_rows == m - 1          # star, not all-pairs
+    assert set(cand.column("doc_a").to_pylist()) == {1}  # bucket min
+
+    pairs = minhash_lsh_pairs(ds, shingle_n=3, jaccard_threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    assert clusters.num_rows == m
+    assert set(clusters.column("rep_id").to_pylist()) == {1}
+
+
+def test_star_cap_below_threshold_keeps_all_pairs(ray_session):
+    """Buckets at or below star_cap keep exact all-pairs emission — forcing
+    star_cap low on the same corpus must switch the plan (star) while the
+    default returns every pair of the 4-dup group."""
+    import ray.data
+
+    from ocr_proofreader_ray.pipelines.dedup import minhash_lsh_pairs
+
+    base = " ".join(f"tok{i % 40}x{i % 7}" for i in range(120))
+    rows = [{"doc_id": d, "text": base} for d in (1, 2, 3, 4)]
+    rows.append({"doc_id": 5, "text": " ".join(f"zzz{i}" for i in range(120))})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    full = minhash_lsh_pairs(ds, shingle_n=3, jaccard_threshold=0.5)
+    keys = {(r["doc_a"], r["doc_b"]) for r in full.to_pylist()}
+    assert keys == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+
+    star = minhash_lsh_pairs(ds, shingle_n=3, jaccard_threshold=0.5,
+                             star_cap=2)
+    star_keys = {(r["doc_a"], r["doc_b"]) for r in star.to_pylist()}
+    assert star_keys == {(1, 2), (1, 3), (1, 4)}
+
+
 def test_cand_elements_bloom_path_identical(ray_session):
     """Forcing the Bloom semi-filter (threshold 0) must yield the same
     verified pairs as the exact key-set path — FPs only waste explode work."""
