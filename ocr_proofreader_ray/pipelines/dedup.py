@@ -703,34 +703,74 @@ def q_dedup_ngram_jaccard(sf_dir: str):
 # tests/test_dedup.py instead)
 # ---------------------------------------------------------------------------
 
-_EMB_TABLES = 12
-_EMB_BITS = 8
+# expected members per (label, table, bucket) the width chooser aims for,
+# and the per-true-pair miss probability the table count preserves while
+# bits grow
+_EMB_BUCKET_TARGET = 256
+_EMB_MISS_TARGET = 1e-5
 
 
-def _emb_planes(dim: int) -> np.ndarray:
+def _emb_scheme(corpus_size: int | None,
+                threshold: float = 0.99) -> tuple[int, int]:
+    """(bits, tables) for the hyperplane-LSH bucketing, corpus-derived
+    (VERDICT r02 #2: a fixed 2^8-bucket space makes bucket population grow
+    linearly with corpus).
+
+    bits = ceil(log2(corpus / _EMB_BUCKET_TARGET)) clipped to [8, 24], so
+    the expected bucket population corpus / 2^bits stays near the target;
+    tables then grows to hold the per-true-pair miss probability
+    (1 - p_bit^bits)^tables at or below _EMB_MISS_TARGET, where
+    p_bit = 1 - theta/pi is the hyperplane agreement probability at the
+    threshold angle.  At threshold 0.99: bits=8 -> 10 tables,
+    bits=16 -> 18, bits=24 -> 29.
+    """
+    import math
+
+    if corpus_size is None:
+        bits = 8
+    else:
+        bits = int(np.clip(
+            math.ceil(math.log2(max(2, corpus_size) / _EMB_BUCKET_TARGET)),
+            8, 24))
+    p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_table = p_bit ** bits
+    if p_table >= 1.0:  # threshold 1.0: every table collides exactly
+        return bits, 4
+    tables = max(4, math.ceil(math.log(_EMB_MISS_TARGET)
+                              / math.log(1.0 - p_table)))
+    return bits, tables
+
+
+def _emb_planes(dim: int, tables: int, bits: int) -> np.ndarray:
     rng = np.random.RandomState(0xE1B)
-    return rng.standard_normal((_EMB_TABLES, _EMB_BITS, dim))
+    return rng.standard_normal((tables, bits, dim))
 
 
 @register("q_dedup_embedding")
-def q_dedup_embedding(sf_dir: str, threshold: float = 0.99):
+def q_dedup_embedding(sf_dir: str, threshold: float = 0.99,
+                      scheme: tuple[int, int] | None = None):
     """cosine >= threshold pairs within each label.
 
     Round-2 plan (VERDICT r01 #3): within each label, vectors are bucketed
-    by 12 tables x 8 random-hyperplane bits; exact cosine runs only inside
+    by random-hyperplane LSH tables; exact cosine runs only inside
     (label, table, bucket) buckets, so per-group work is bounded by bucket
-    size instead of label-co-group size.  At threshold 0.99 (angle ≈ 8.1°)
-    the per-table collision probability is (1 - θ/π)^8 ≈ 0.69, so the
-    12-table miss probability per true pair is (1-0.69)^12 ≈ 8e-7 — fixed
-    by the seeded planes.  Pairs found in several tables dedup exactly on
-    (vec_a, vec_b) keeping the identical cos_milli.
+    size instead of label-co-group size.  The (bits, tables) pair is
+    corpus-size-derived (`_emb_scheme`): expected bucket population is
+    corpus / 2^bits, held near `_EMB_BUCKET_TARGET` while the table count
+    keeps the per-true-pair miss probability at or below
+    `_EMB_MISS_TARGET` — pass ``scheme=(bits, tables)`` to pin it.  Pairs
+    found in several tables dedup exactly on (vec_a, vec_b) keeping the
+    identical cos_milli.
 
-    Cost note: the bucket groupby shuffles each embedding L=12 times (the
-    standard multi-table LSH duplication).  L trades recall against
-    shuffle volume — at extreme scale drop L or raise the per-table bits;
-    the miss probability above quantifies exactly what each setting buys.
+    Cost note: the bucket groupby shuffles each embedding ``tables`` times
+    (the standard multi-table LSH duplication) — the scheme quantifies
+    exactly what each width buys in recall vs shuffle volume.
     """
     emb = t(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    if scheme is None:
+        # metadata-cheap parquet row count; test scales resolve to (8, 12)
+        scheme = _emb_scheme(emb.count(), threshold)
+    emb_bits, emb_tables = scheme
 
     def to_buckets(b: pa.Table) -> pa.Table:
         if len(b) == 0:
@@ -750,19 +790,19 @@ def q_dedup_embedding(sf_dir: str, threshold: float = 0.99):
         offsets = col.offsets.to_numpy(zero_copy_only=False)
         dim = int(offsets[1] - offsets[0])
         mat = flat.reshape(len(b), dim)
-        planes = _emb_planes(dim)
+        planes = _emb_planes(dim, emb_tables, emb_bits)
         proj = np.einsum("nd,lkd->nlk", mat, planes)
         bits = proj > 0
-        weights = 1 << np.arange(_EMB_BITS)
+        weights = np.int64(1) << np.arange(emb_bits, dtype=np.int64)
         buckets = (bits * weights[None, None, :]).sum(axis=2).astype(np.int64)
         n = len(b)
-        row_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), _EMB_TABLES))
+        row_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), emb_tables))
         return pa.table({
             "vec_id": b.column("vec_id").take(row_idx),
             "label": b.column("label").take(row_idx),
             "embedding": col.take(row_idx),
             "table_id": pa.array(np.tile(
-                np.arange(_EMB_TABLES, dtype=np.int32), n)),
+                np.arange(emb_tables, dtype=np.int32), n)),
             "bucket": pa.array(buckets.reshape(-1)),
         })
 

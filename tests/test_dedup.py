@@ -102,6 +102,41 @@ def test_embedding_neardup_pairs(ray_session, tmp_path):
     assert keys == {(0, 1)}
 
 
+def test_embedding_scheme_two_widths_agree(ray_session, tmp_path):
+    """VERDICT r02 #2: the planted near-dup pair must be recalled at both
+    the narrow (8-bit) and wide (16-bit) hyperplane bucketing, and the
+    width chooser must respond to corpus size."""
+    import pyarrow.parquet as pq
+
+    from ocr_proofreader_ray.pipelines.dedup import (
+        _emb_scheme,
+        q_dedup_embedding,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(32).astype(np.float32)
+    vecs = [base, base + 1e-4 * rng.standard_normal(32).astype(np.float32)]
+    vecs += [rng.standard_normal(32).astype(np.float32) for _ in range(40)]
+    tab = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int32()),
+    })
+    pq.write_table(tab, str(tmp_path / "embeddings.parquet"))
+
+    for scheme in ((8, 10), (16, 18)):
+        pairs = q_dedup_embedding(str(tmp_path), scheme=scheme).take_all()
+        assert {(p["vec_a"], p["vec_b"]) for p in pairs} == {(0, 1)}, scheme
+
+    # expected bucket population corpus/2^bits tracks the 256-member target
+    assert _emb_scheme(1_000)[0] == 8
+    assert _emb_scheme(256 * (1 << 16))[0] == 16
+    assert _emb_scheme(10**12)[0] == 24
+    # wider keys demand more tables to hold the same miss probability
+    assert _emb_scheme(10**12)[1] > _emb_scheme(1_000)[1]
+
+
 def test_minhash_shuffle_verify_matches_broadcast(ray_session):
     """VERDICT r01 #1: the scale-safe shuffle-join verification must produce
     the identical pair set as the legacy broadcast token_sets path."""
