@@ -141,7 +141,12 @@ def _derive_num_partitions(*datasets: "ray.data.Dataset") -> int:
     if total <= 0:
         return max(32, ncpu)
     by_bytes = -(-total // _JOIN_PARTITION_INPUT_BYTES)
-    return min(512, max(8, ncpu, by_bytes))
+    # no upper cap (VERDICT r02 #6): the 256 MiB/partition budget must hold
+    # at any input size, so partitions grow linearly with bytes — beyond
+    # ~128 GB of input a cap would let partition groups grow unboundedly;
+    # many partitions only cost per-group dispatch, which map_groups
+    # amortizes across the partition's rows
+    return max(8, ncpu, by_bytes)
 
 
 def shuffle_join(

@@ -40,6 +40,22 @@ def t(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dat
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+# broadcast-side budget (VERDICT r02 #7): a driver pq.read_table of the
+# "small" join side is only safe while its parquet bytes stay under this —
+# customer is fact-sized at crawl scale, so the plan is chosen by measured
+# file size, falling back to the hash-partitioned shuffle join above it
+_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def _table_bytes(sf_dir: str, name: str) -> int:
+    import os
+
+    try:
+        return os.path.getsize(f"{sf_dir}/{name}.parquet")
+    except OSError:
+        return 1 << 62  # unknown size: assume big, take the shuffle plan
+
+
 def imod(col, m: int):
     """Integer modulo for non-negative keys (pyarrow has no mod kernel)."""
     return pc.subtract(col, pc.multiply(pc.divide(col, m), m))
@@ -316,15 +332,10 @@ def q_nation_revenue(sf_dir: str):
     import pyarrow.parquet as pq
 
     orders = t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    # dimension side materialized once on the driver, broadcast via ray.put:
-    # customer ⋈ nation collapses to a small custkey -> nation map
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_nationkey"])
+    # nation is genuinely tiny (25 rows) — always broadcast; customer is
+    # only broadcast while its measured parquet size fits the budget
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
-    cust_nation = cust.join(nation, keys=["c_nationkey"],
-                            right_keys=["n_nationkey"]).select(
-        ["c_custkey", "n_name"]).rename_columns(["c_custkey", "nation"])
 
     def prep(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -333,8 +344,28 @@ def q_nation_revenue(sf_dir: str):
         })
 
     orders = orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    joined = broadcast_join(orders, cust_nation, on="o_custkey",
-                            right_on="c_custkey")
+    if _table_bytes(sf_dir, "customer") <= _BROADCAST_MAX_BYTES:
+        # dimension side materialized once on the driver, broadcast via
+        # ray.put: customer ⋈ nation collapses to a custkey -> nation map
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        cust_nation = cust.join(nation, keys=["c_nationkey"],
+                                right_keys=["n_nationkey"]).select(
+            ["c_custkey", "n_name"]).rename_columns(["c_custkey", "nation"])
+        joined = broadcast_join(orders, cust_nation, on="o_custkey",
+                                right_on="c_custkey")
+    else:
+        # fact-sized customer: broadcast only nation onto the streaming
+        # customer scan, then hash-partition both fact sides once
+        cust_ds = broadcast_join(
+            t(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+            nation.rename_columns(["c_nationkey", "nation"]),
+            on="c_nationkey")
+        cust_ds = cust_ds.map_batches(
+            lambda b: b.select(["c_custkey", "nation"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        joined = shuffle_join(orders, cust_ds,
+                              on=("o_custkey",), right_on=("c_custkey",))
     return grouped_agg(joined, ["nation"], [
         ("cents", "sum", "revenue_cents"),
         (None, "count", "n_orders"),
@@ -698,10 +729,20 @@ def q_rank_in_segment(sf_dir: str):
         orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         ["o_custkey"], [("cents", "sum", "revenue_cents")], final="ray",
     )
-    seg = pq.read_table(f"{sf_dir}/customer.parquet",
-                        columns=["c_custkey", "c_mktsegment"])
-    seg = seg.rename_columns(["c_custkey", "segment"])
-    rev = broadcast_join(rev, seg, on="o_custkey", right_on="c_custkey")
+    if _table_bytes(sf_dir, "customer") <= _BROADCAST_MAX_BYTES:
+        seg = pq.read_table(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_mktsegment"])
+        seg = seg.rename_columns(["c_custkey", "segment"])
+        rev = broadcast_join(rev, seg, on="o_custkey", right_on="c_custkey")
+    else:
+        # fact-sized customer (VERDICT r02 #7): stream the segment column
+        # and hash-partition both sides instead of a driver materialization
+        seg_ds = t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+            .map_batches(
+                lambda b: b.rename_columns(["c_custkey", "segment"]),
+                batch_format="pyarrow", zero_copy_batch=True)
+        rev = shuffle_join(rev, seg_ds,
+                           on=("o_custkey",), right_on=("c_custkey",))
 
     def rank_top3(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(g, sort_keys=[("revenue_cents", "descending"),
@@ -741,11 +782,16 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
     Users are co-grouped by a coarse hash partition (one map_groups call
     per partition, not per user — see the MinHash lesson) and sessionized
     with vectorized pandas inside the partition.  Partitioning assumption:
-    all events of one user land in one partition (hash of user_id)."""
+    all events of one user land in one partition (hash of user_id).  The
+    partition count derives from input bytes (VERDICT r02 #5: a literal 64
+    would hold 1/64 of the events table per group at any scale)."""
+    from ocr_proofreader_ray.ops.join import _derive_num_partitions
+
     ds = t(sf_dir, "events", ["user_id", "ts"])
+    n_parts = _derive_num_partitions(ds)
 
     def add_part(b: pa.Table) -> pa.Table:
-        part = pc.cast(imod(b.column("user_id"), 64), pa.int32())
+        part = pc.cast(imod(b.column("user_id"), n_parts), pa.int32())
         return b.append_column("part", part)
 
     gap = np.timedelta64(gap_minutes * 60, "s")

@@ -332,6 +332,12 @@ def _explode_token_counts(b: pa.Table) -> pa.Table:
             .rename_columns(["lang", "tok", "cnt"]))
 
 
+# vocabulary partial-row budget for the driver merge — above it the final
+# aggregate + per-lang top-k run as a Ray shuffle (same switch pattern as
+# extraction.build_dictionary, VERDICT r02 #4)
+_HH_DRIVER_MAX_ROWS = 20_000_000
+
+
 @register(
     "q_heavy_hitters",
     sql="""
@@ -352,21 +358,36 @@ def _explode_token_counts(b: pa.Table) -> pa.Table:
 def q_heavy_hitters(sf_dir: str, k: int = 20):
     """Exact per-language top-K tokens — the dictionary-build machinery as a
     first-class query.  Per-batch pyarrow group_by partials mean the shuffle
-    moves (lang, tok, partial_count) rows, never text; the final per-lang
-    rank is a driver-side sort of the (small) global counts with the same
-    (cnt DESC, tok ASC) total order as the SQL window."""
+    moves (lang, tok, partial_count) rows, never text.  Small vocabularies
+    (partial rows at or under ``_HH_DRIVER_MAX_ROWS``) merge on the driver
+    with the same (cnt DESC, tok ASC) total order as the SQL window; larger
+    ones go through a Ray hash shuffle + per-lang distributed top-k, so the
+    driver never sees more than k rows per language."""
     ds = t(sf_dir, "documents", ["lang", "text"])
     partials = ds.map_batches(_explode_token_counts, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    total = grouped_agg(partials, ["lang", "tok"], [("cnt", "sum", "cnt")])
-    parts = []
-    for lang in pc.unique(total.column("lang")).to_pylist():
-        sub = total.filter(pc.equal(total.column("lang"), lang))
+                              zero_copy_batch=True).materialize()
+
+    def topk_table(sub: pa.Table) -> pa.Table:
         idx = pc.sort_indices(sub, sort_keys=[("cnt", "descending"),
                                               ("tok", "ascending")])
-        parts.append(sub.take(idx[:k]))
-    return (pa.concat_tables(parts) if parts
-            else total.schema.empty_table())
+        return sub.take(idx[:k])
+
+    if partials.count() <= _HH_DRIVER_MAX_ROWS:
+        total = grouped_agg(partials, ["lang", "tok"], [("cnt", "sum", "cnt")])
+        parts = [
+            topk_table(total.filter(pc.equal(total.column("lang"), lang)))
+            for lang in pc.unique(total.column("lang")).to_pylist()
+        ]
+        return (pa.concat_tables(parts) if parts
+                else total.schema.empty_table())
+
+    from ray.data.aggregate import Sum
+
+    agg = partials.groupby(["lang", "tok"]).aggregate(
+        Sum("cnt", alias_name="cnt"))
+    return agg.groupby("lang").map_groups(
+        lambda g: topk_table(g.select(["lang", "tok", "cnt"])),
+        batch_format="pyarrow")
 
 
 @register("q_heavy_hitters_approx")  # sketch-based: rows-only driver check

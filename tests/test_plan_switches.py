@@ -1,0 +1,76 @@
+"""Size-gated physical-plan switches (VERDICT r02 #4/#5/#6/#7): forcing the
+at-scale plan on small inputs must produce bit-identical results to the
+small-input fast path, and derived partition counts must respond to bytes."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(result) -> pd.DataFrame:
+    if isinstance(result, pa.Table):
+        df = result.to_pandas()
+    elif isinstance(result, pd.DataFrame):
+        df = result
+    else:
+        df = result.to_pandas()  # ray Dataset
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def test_heavy_hitters_ray_final_matches_driver(ray_session, monkeypatch):
+    import ocr_proofreader_ray.pipelines.text_analysis as ta
+
+    driver = _canon(ta.q_heavy_hitters(SF))
+    monkeypatch.setattr(ta, "_HH_DRIVER_MAX_ROWS", 0)
+    forced = _canon(ta.q_heavy_hitters(SF))
+    pd.testing.assert_frame_equal(driver, forced, check_dtype=False,
+                                  check_exact=True)
+    assert len(driver) > 0
+
+
+def test_customer_join_shuffle_fallback_matches_broadcast(ray_session,
+                                                          monkeypatch):
+    import ocr_proofreader_ray.pipelines.relational as rel
+
+    nation_b = _canon(rel.q_nation_revenue(SF))
+    rank_b = _canon(rel.q_rank_in_segment(SF))
+    monkeypatch.setattr(rel, "_BROADCAST_MAX_BYTES", 0)
+    nation_s = _canon(rel.q_nation_revenue(SF))
+    rank_s = _canon(rel.q_rank_in_segment(SF))
+    pd.testing.assert_frame_equal(nation_b, nation_s, check_dtype=False,
+                                  check_exact=True)
+    pd.testing.assert_frame_equal(rank_b, rank_s, check_dtype=False,
+                                  check_exact=True)
+    assert len(nation_b) > 0 and len(rank_b) > 0
+
+
+def test_derived_partitions_respond_to_input_bytes(ray_session, monkeypatch):
+    import ray.data
+
+    import ocr_proofreader_ray.ops.join as j
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet")
+    small = j._derive_num_partitions(ds)
+    # shrink the per-partition budget: the count must scale with bytes —
+    # and with the r02 cap removed it must be free to exceed 512
+    monkeypatch.setattr(j, "_JOIN_PARTITION_INPUT_BYTES", 16)
+    big = j._derive_num_partitions(ds)
+    assert big > small
+    assert big > 512
+
+
+def test_user_sessions_partitions_derived_not_hardcoded(ray_session,
+                                                        monkeypatch):
+    import ocr_proofreader_ray.ops.join as j
+    import ocr_proofreader_ray.pipelines.relational as rel
+
+    base = _canon(rel.q_user_sessions(SF))
+    # forcing a different derived count must not change results (pure
+    # partitioning knob), proving the literal-64 assumption is gone
+    monkeypatch.setattr(j, "_JOIN_PARTITION_INPUT_BYTES", 1 << 10)
+    repartitioned = _canon(rel.q_user_sessions(SF))
+    pd.testing.assert_frame_equal(base, repartitioned, check_dtype=False,
+                                  check_exact=True)
