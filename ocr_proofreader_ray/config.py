@@ -40,6 +40,14 @@ class ExtractionConfig:
     # gives LPT dispatch and size-homogeneous actor batches (no shuffle)
     size_bucketing: bool = True
 
+    # whale-page hard cap (SURVEY.md §7 hard-parts): a single html value
+    # larger than this is truncated to the cap BEFORE parsing — Ray's
+    # byte-bounded blocks isolate whales between rows but cannot split one
+    # value, so one unbounded page would still sit whole in a worker heap.
+    # Truncated docs are flagged in the raw output (``truncated`` column)
+    # and counted in the per-chunk manifest; 0/None disables the cap.
+    whale_max_html_bytes: int | None = 32 << 20
+
     # checkpoint-resume granularity: input files per chunk; 0 → single chunk
     files_per_chunk: int = 64
 

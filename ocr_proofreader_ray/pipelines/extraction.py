@@ -92,24 +92,35 @@ class _ExtractStage:
     branches)."""
 
     def __init__(self, lineage_name: str | None, chunk_id: int,
-                 path_to_chunk: dict[str, int] | None = None):
+                 path_to_chunk: dict[str, int] | None = None,
+                 max_html_bytes: int | None = None):
         self.lineage_name = lineage_name
         self.chunk_id = chunk_id
         self.path_to_chunk = path_to_chunk or {}
+        self.max_html_bytes = max_html_bytes
 
     def _chunk_ids(self, batch: pa.Table) -> pa.Array:
         paths = batch.column("path").to_pylist()
         lookup = self.path_to_chunk
-        return pa.array(
-            [lookup.get(p, lookup.get(os.path.abspath(p), -1))
-             for p in paths], pa.int32())
+        cids = [lookup.get(p, lookup.get(os.path.abspath(p), -1))
+                for p in paths]
+        if -1 in cids:
+            # ADVICE r02: an unmapped path would land its rows in a
+            # chunk_id=-1 dir that the commit never promotes — silent data
+            # loss with the chunk still marked complete.  Fail loudly; the
+            # only known cause is a Ray path-normalization change.
+            bad = sorted({p for p, c in zip(paths, cids) if c == -1})[:3]
+            raise RuntimeError(
+                f"extract: input path(s) not in the chunk map, e.g. {bad} "
+                "— path normalization mismatch between discovery and read")
+        return pa.array(cids, pa.int32())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         chunk_col = None
         if "path" in batch.schema.names:
             chunk_col = self._chunk_ids(batch)
             batch = batch.drop_columns(["path"])
-        out = extract_batch(batch)
+        out = extract_batch(batch, max_html_bytes=self.max_html_bytes)
         mstate.report(
             self.lineage_name, self.chunk_id, "extract",
             rows_in=batch.num_rows, rows_out=out.num_rows,
@@ -233,7 +244,8 @@ def run_pass1_group(cfg: ExtractionConfig,
     ds = ds.map_batches(
         _ExtractStage(lineage_name,
                       chunk_ids[0] if single else -1,
-                      None if single else path_to_chunk),
+                      None if single else path_to_chunk,
+                      max_html_bytes=cfg.whale_max_html_bytes),
         batch_format="pyarrow",
         batch_size=None,  # byte-bounded blocks: whale pages can't blow memory
         num_cpus=cfg.extract_num_cpus,
@@ -442,7 +454,8 @@ def run_pass2_group(cfg: ExtractionConfig, chunk_ids: list[int],
 
 @ray.remote(num_cpus=1)
 def _col_sum(d: str, col: str) -> int:
-    """Sum one int64 column across a committed chunk directory."""
+    """Sum one int64/bool column across a committed chunk directory."""
+    import pyarrow as _pa
     import pyarrow.compute as _pc
     import pyarrow.parquet as _pq
 
@@ -450,7 +463,10 @@ def _col_sum(d: str, col: str) -> int:
     for f in os.listdir(d):
         if f.endswith(".parquet"):
             t = _pq.read_table(f"{d}/{f}", columns=[col])
-            total += int(_pc.sum(t.column(col)).as_py() or 0)
+            c = t.column(col)
+            if _pa.types.is_boolean(c.type):
+                c = _pc.cast(c, _pa.int64())
+            total += int(_pc.sum(c).as_py() or 0)
     return total
 
 
@@ -466,7 +482,8 @@ def _launch_counter_sums(raw_dir: str, out_dir: str | None) -> list:
     overlaps them with the next chunk's pipeline (one-chunk lookahead), so
     multi-chunk crawl runs never serialize on lineage accounting."""
     refs = [_col_sum.remote(raw_dir, "html_bytes"),
-            _col_sum.remote(raw_dir, "n_chars")]
+            _col_sum.remote(raw_dir, "n_chars"),
+            _col_sum.remote(raw_dir, "truncated")]
     if out_dir is not None and os.path.isdir(out_dir):
         refs.append(_col_sum.remote(out_dir, "n_chars"))
     return refs
@@ -480,7 +497,7 @@ def _dir_rows(d: str) -> int:
 
 def _resolve_chunk_counters(refs: list, raw_dir: str, out_dir: str | None,
                             input_rows: int) -> dict:
-    with_out = len(refs) == 3
+    with_out = len(refs) == 4
     raw_rows = _dir_rows(raw_dir)
     sums = ray.get(refs)
 
@@ -490,6 +507,7 @@ def _resolve_chunk_counters(refs: list, raw_dir: str, out_dir: str | None,
             "rows_out": raw_rows,
             "bytes_in": sums[0],
             "bytes_out": sums[1],
+            "docs_truncated": sums[2],
         }
     }
     if with_out:
@@ -497,7 +515,7 @@ def _resolve_chunk_counters(refs: list, raw_dir: str, out_dir: str | None,
             "rows_in": raw_rows,
             "rows_out": _dir_rows(out_dir),
             "bytes_in": sums[1],
-            "bytes_out": sums[2],
+            "bytes_out": sums[3],
         }
     return counters
 

@@ -23,21 +23,35 @@ RAW_SCHEMA = pa.schema(
         ("raw_text", pa.string()),
         ("html_bytes", pa.int64()),
         ("n_chars", pa.int64()),
+        ("truncated", pa.bool_()),
     ]
 )
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
-    """(url, html, lang) -> (url, lang, raw_text, html_bytes, n_chars).
+def extract_batch(batch: pa.Table,
+                  max_html_bytes: int | None = None) -> pa.Table:
+    """(url, html, lang) -> (url, lang, raw_text, html_bytes, n_chars,
+    truncated).
 
     The wide ``html`` binary column is dropped here — nothing downstream
-    (shuffles included) ever moves raw HTML again.
+    (shuffles included) ever moves raw HTML again.  A page larger than
+    ``max_html_bytes`` is truncated to the cap before parsing (whale-page
+    hard cap, SURVEY.md §7: byte-bounded blocks isolate whales between
+    rows but cannot split one value) and flagged in ``truncated``;
+    ``html_bytes`` records the ORIGINAL size for lineage.  Truncation is
+    mid-byte-safe: the parser decodes with errors="replace".
     """
     # single binary->Python conversion pass (VERDICT r01 #6: the previous
     # per-element as_py() in two comprehensions copied every page twice)
     htmls = batch.column("html").to_pylist()
-    texts = [extract_main_text(h or b"") for h in htmls]
     sizes = [len(h) if h is not None else 0 for h in htmls]
+    if max_html_bytes:
+        trunc = [s > max_html_bytes for s in sizes]
+        texts = [extract_main_text((h or b"")[:max_html_bytes])
+                 for h in htmls]
+    else:
+        trunc = [False] * len(htmls)
+        texts = [extract_main_text(h or b"") for h in htmls]
     return pa.table(
         {
             "url": batch.column("url"),
@@ -45,6 +59,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
             "raw_text": pa.array(texts, pa.string()),
             "html_bytes": pa.array(sizes, pa.int64()),
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "truncated": pa.array(trunc, pa.bool_()),
         },
         schema=RAW_SCHEMA,
     )

@@ -201,3 +201,50 @@ def test_stale_group_tmp_is_ignored_and_cleaned(ray_session, pages_dir, tmp_path
     assert {u: g["extracted_text"] for u, g in golden.items()} == got
     for sub in ("raw_extracted", "token_counts", "extracted"):
         assert not os.path.exists(os.path.join(work, sub, ".group_tmp"))
+
+
+def test_whale_truncation_capped_and_counted(ray_session, pages_dir, tmp_path):
+    """Whale-page hard cap (SURVEY §7 / VERDICT r02 #8): html values above
+    the cap are truncated before parsing, flagged per doc in the raw
+    output, counted in the per-chunk manifest — and every UNtruncated
+    doc's extracted raw text stays byte-identical to the uncapped run."""
+    import pyarrow.compute as pc
+
+    # page sizes from the inputs: pick a cap between normal pages + whales
+    sizes = {}
+    for f in sorted(glob.glob(f"{pages_dir}/pages-*.parquet")):
+        t = pq.read_table(f, columns=["url", "html"])
+        for u, h in zip(t.column("url").to_pylist(),
+                        t.column("html").to_pylist()):
+            sizes[u] = len(h)
+    cap = 50_000
+    expect_truncated = {u for u, s in sizes.items() if s > cap}
+    assert expect_truncated, "fixture must contain whales above the cap"
+    assert len(expect_truncated) < len(sizes) // 2
+
+    _run(pages_dir, str(tmp_path / "base"))
+    _run(pages_dir, str(tmp_path / "capped"), whale_max_html_bytes=cap)
+
+    def raw_map(work):
+        rows = {}
+        for f in glob.glob(f"{work}/raw_extracted/chunk-*/*.parquet"):
+            t = pq.read_table(f, columns=["url", "raw_text", "truncated",
+                                          "html_bytes"])
+            for r in t.to_pylist():
+                rows[r["url"]] = r
+        return rows
+
+    base, capped = raw_map(str(tmp_path / "base")), raw_map(str(tmp_path / "capped"))
+    assert {u for u, r in capped.items() if r["truncated"]} == expect_truncated
+    for u in sizes:
+        assert capped[u]["html_bytes"] == sizes[u]  # ORIGINAL size kept
+        if u not in expect_truncated:
+            assert capped[u]["raw_text"] == base[u]["raw_text"], u
+
+    # the truncation count is visible in the committed manifest
+    total = 0
+    for p in sorted(glob.glob(str(tmp_path / "capped/manifest/pass1/chunk-*.json"))):
+        with open(p) as f:
+            rec = json.load(f)
+        total += rec["counters"]["extract"]["docs_truncated"]
+    assert total == len(expect_truncated)
