@@ -158,6 +158,7 @@ def shuffle_join(
     num_partitions: int | None = None,
     bloom_prefilter: bool = False,
     bloom_n_keys: int | None = None,
+    salt: int | None = None,
 ) -> "ray.data.Dataset":
     """Fact-fact hash-partitioned join.
 
@@ -170,12 +171,23 @@ def shuffle_join(
 
     Requirements: non-key column names disjoint across sides; single-column
     hash distribution (multi-key joins partition on the first key, which is
-    correct as long as it is part of every key tuple).  Skewed keys spread
-    only as far as the hash of the first key — salt upstream if one key value
-    dominates.
+    correct as long as it is part of every key tuple).
+
+    **Skew salting** (``salt=R``, inner joins only): when one left-side key
+    value dominates, its whole partition group lands on one worker.  With
+    salting, every left row gets a ``__salt`` in [0, R) (spreading a hot
+    key over R partitions) and every right row is replicated R times, once
+    per salt; ``__salt`` joins as an extra key column, so results are
+    exactly the unsalted join (pinned by tests) while the hot partition
+    shrinks Rx.  Cost: right-side shuffle volume xR — salt when the left
+    is skewed and the right is the smaller side.
     """
     on = tuple(on)
     right_on = tuple(right_on) if right_on else on
+    if salt is not None and salt > 1 and join_type != "inner":
+        raise ValueError("salt requires join_type='inner' (replicated right "
+                         "rows would duplicate outer non-matches)")
+    n_salt = salt if salt is not None and salt > 1 else 0
     if num_partitions is None:
         num_partitions = _derive_num_partitions(left, right)
 
@@ -211,8 +223,25 @@ def shuffle_join(
 
     def tag(side: int, key_col: str):
         def fn(b: pa.Table) -> pa.Table:
-            part = _partition_hash(b.column(key_col), num_partitions)
-            b = b.append_column("__part", part)
+            import numpy as np
+
+            if n_salt:
+                h = (_partition_hash(b.column(key_col), num_partitions)
+                     .to_numpy(zero_copy_only=False))
+                if side == 0:
+                    salts = (np.arange(b.num_rows) % n_salt).astype(np.int32)
+                else:
+                    # replicate the right batch once per salt value
+                    b = pa.concat_tables([b] * n_salt)
+                    salts = np.repeat(np.arange(n_salt, dtype=np.int32),
+                                      len(h))
+                    h = np.tile(h, n_salt)
+                part = (h + salts.astype(np.int64) * 7919) % num_partitions
+                b = b.append_column("__salt", pa.array(salts))
+                b = b.append_column("__part", pa.array(part))
+            else:
+                part = _partition_hash(b.column(key_col), num_partitions)
+                b = b.append_column("__part", part)
             return b.append_column(
                 "__side", pa.array([side] * b.num_rows, pa.int8())
             )
@@ -229,7 +258,7 @@ def shuffle_join(
     overlap = (set(lschema) - set(on)) & (set(rschema) - set(right_on))
     if overlap:
         raise ValueError(f"shuffle_join: non-key column collision {overlap}")
-    reserved = {"__part", "__side"} & (set(lschema) | set(rschema))
+    reserved = {"__part", "__side", "__salt"} & (set(lschema) | set(rschema))
     if reserved:
         raise ValueError(
             f"shuffle_join: input carries reserved column(s) {reserved} "
@@ -243,7 +272,7 @@ def shuffle_join(
         return fn
 
     all_cols = (list(lschema) + [c for c in rschema if c not in lschema]
-                + ["__part", "__side"])
+                + (["__salt"] if n_salt else []) + ["__part", "__side"])
     lt = lt.map_batches(
         pad({k: v for k, v in rschema.items() if k not in lschema}, all_cols),
         batch_format="pyarrow", zero_copy_batch=True)
@@ -251,12 +280,19 @@ def shuffle_join(
         pad({k: v for k, v in lschema.items() if k not in rschema}, all_cols),
         batch_format="pyarrow", zero_copy_batch=True)
 
+    salt_keys = ["__salt"] if n_salt else []
+
     def join_partition(group: pa.Table) -> pa.Table:
         lmask = pc.equal(group.column("__side"), pa.scalar(0, pa.int8()))
-        lpart = group.filter(lmask).select(list(lschema))
-        rpart = group.filter(pc.invert(lmask)).select(list(rschema))
-        out = lpart.join(rpart, keys=list(on), right_keys=list(right_on),
+        lpart = group.filter(lmask).select(list(lschema) + salt_keys)
+        rpart = group.filter(pc.invert(lmask)).select(list(rschema) + salt_keys)
+        # __salt joins as an extra key, so a replicated right row matches
+        # exactly one left salt — results identical to the unsalted join
+        out = lpart.join(rpart, keys=list(on) + salt_keys,
+                         right_keys=list(right_on) + salt_keys,
                          join_type=join_type, coalesce_keys=True)
+        if n_salt:
+            out = out.drop_columns(["__salt"])
         return out.combine_chunks()
 
     return lt.union(rt).groupby("__part").map_groups(

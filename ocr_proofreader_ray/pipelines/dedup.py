@@ -41,7 +41,7 @@ from ocr_proofreader_ray.functions.sketches import (
     simhash64,
     stable_hash64,
 )
-from ocr_proofreader_ray.ops.agg import grouped_agg
+from ocr_proofreader_ray.ops.agg import _arrow_blocks, grouped_agg
 from ocr_proofreader_ray.ops.join import broadcast_semi_anti, shuffle_join
 from ocr_proofreader_ray.pipelines.registry import register
 from ocr_proofreader_ray.pipelines.relational import t
@@ -842,18 +842,95 @@ def q_dedup_embedding(sf_dir: str, threshold: float = 0.99,
 # near-dup cluster resolution: connected components over verified pairs
 # ---------------------------------------------------------------------------
 
-def dedup_clusters(pairs: pa.Table) -> pa.Table:
+# pair count at or below which connected components run as driver-side
+# union-find; above it the distributed min-label-propagation plan runs
+# (VERDICT r02 #9) — each round is one shuffle of (node, label) rows
+_UNION_FIND_MAX_PAIRS = 5_000_000
+
+
+def _clusters_label_propagation(pairs: pa.Table,
+                                max_rounds: int = 64) -> pa.Table:
+    """Distributed connected components: iterative min-label propagation.
+
+    label(v) starts as v; each round every node takes the min of its own
+    label and its neighbors' labels (one shuffle join edges⋈labels + one
+    grouped min), then POINTER-JUMPS label(v) <- label(label(v)) (a second
+    shuffle join of labels against itself) — the jump contracts label
+    chains exponentially, so convergence is O(log diameter) rounds instead
+    of O(diameter).  Fixpoint when the label sum stops falling (labels
+    only ever decrease, so the sum is a strict progress measure).
+    Per-round state is (node, label) rows in the object store; nothing
+    corpus-sized touches the driver until the final (output-sized) gather.
+    """
+    a = pairs.column("doc_a").combine_chunks()
+    b = pairs.column("doc_b").combine_chunks()
+    edges = pa.table({
+        "nbr": pa.concat_arrays([a, b]),   # propagate in BOTH directions
+        "node": pa.concat_arrays([b, a]),
+    })
+    nodes = pc.unique(pa.concat_arrays([a, b]))
+    edges_ds = ray.data.from_arrow(edges).materialize()
+    labels_ds = ray.data.from_arrow(
+        pa.table({"node": nodes, "label": nodes})).materialize()
+    prev_sum = None
+    for _ in range(max_rounds):
+        nbr_labels = labels_ds.map_batches(
+            lambda t: t.rename_columns(["nbr", "nbr_label"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        prop = shuffle_join(edges_ds, nbr_labels, on=("nbr",))
+        cand = prop.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "label": t.column("nbr_label")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        # materialize: the jump consumes `merged` twice (probe + build
+        # side) — unmaterialized, each consumer would re-execute the whole
+        # propagate-and-aggregate sub-plan
+        merged = grouped_agg(cand.union(labels_ds), ["node"],
+                             [("label", "min", "label")],
+                             final="ray").materialize()
+        # pointer jump: every label is itself a node (min over node ids
+        # preserves nodehood), so label(label(v)) exists and is <= label(v)
+        jump_side = merged.map_batches(
+            lambda t: t.rename_columns(["jkey", "jlabel"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        jumped = shuffle_join(merged, jump_side,
+                              on=("label",), right_on=("jkey",))
+        # repartition bounds the label block count per round — without it
+        # every join/union multiplies blocks and round cost grows
+        # exponentially (measured: 6 -> 26 -> 106 blocks in 3 rounds)
+        n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        labels_ds = jumped.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "label": t.column("jlabel")}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).repartition(n_blocks).materialize()
+        new_sum = labels_ds.sum("label")
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    out = pa.concat_tables(
+        [blk.select(["node", "label"]) for blk in _arrow_blocks(labels_ds)],
+        promote_options="default")
+    idx = pc.sort_indices(out, sort_keys=[("node", "ascending")])
+    out = out.take(idx)
+    return pa.table({"doc_id": out.column("node"),
+                     "rep_id": out.column("label")})
+
+
+def dedup_clusters(pairs: pa.Table,
+                   max_driver_pairs: int = _UNION_FIND_MAX_PAIRS) -> pa.Table:
     """(doc_a, doc_b) pairs -> (doc_id, rep_id): connected components with
     the component's min doc_id as canonical representative.
 
-    Pure driver-side union-find (path compression + union by min): the pair
-    set is post-LSH-verified and tiny relative to the corpus by
-    construction, so this is safe at scale the same way the pair-dedup
-    merge is.  If a corpus ever produced a pair list too big for one
-    machine, the documented fallback is iterative min-label propagation:
-    repeat [groupby(doc) -> min(label of neighbors)] until fixpoint — each
-    round is one small shuffle of (doc, label) pairs.
+    At or below ``max_driver_pairs`` this is driver-side union-find (path
+    compression + union by min): the pair set is post-LSH-verified and
+    star-capped, so it is corpus-bounded, and one machine handles millions
+    of pairs in seconds.  Above the threshold the distributed iterative
+    min-label-propagation plan runs (`_clusters_label_propagation`) — both
+    paths are exact and pinned equivalent by tests/test_dedup.py.
     """
+    if pairs.num_rows > max_driver_pairs:
+        return _clusters_label_propagation(pairs)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
