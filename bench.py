@@ -233,7 +233,11 @@ def hardware_ceiling(lo: int, hi: int) -> dict:
         out[f"{name}_burn_sec_{hi}"] = round(t_hi, 3)
         out[f"{name}_ceiling"] = round(
             (hi * eff_hi) / (lo * eff_lo) / (hi / lo), 3)
-    out["ceiling"] = out["alu_ceiling"]  # conservative normalization basis
+    # normalization basis = the BETTER-scaling resource (ADVICE r02): a
+    # mixed pipeline can do no better than the best ceiling its resources
+    # offer, so dividing by the lower one would inflate the normalized
+    # efficiency; both components stay in the output for attribution
+    out["ceiling"] = max(out["alu_ceiling"], out["mem_ceiling"])
     return out
 
 
