@@ -110,7 +110,11 @@ def grouped_agg(
         ])
         return merged
 
-    tables = _arrow_blocks(parts)
+    # materialize the (tiny) partials before draining: to_arrow_refs'
+    # internal schema probe otherwise runs the upstream plan a SECOND time
+    # via a limit-1 execution, and an upstream all-to-all (shuffle join,
+    # sort) cannot early-stop — measured 2x the whole join per aggregate
+    tables = _arrow_blocks(parts.materialize())
     if not tables:
         # empty input: derive an empty partial so output schema is stable
         tables = [partial(_empty_like(ds))]
@@ -149,7 +153,9 @@ def top_k(
         return b.take(idx[:k])
 
     parts = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
-    tables = _arrow_blocks(parts)
+    # materialize before draining — same double-execution trap as in
+    # grouped_agg: the schema probe would re-run the upstream plan
+    tables = _arrow_blocks(parts.materialize())
     if not tables:
         return _empty_like(ds)
     merged = pa.concat_tables(tables, promote_options="default")
