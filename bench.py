@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "q_dedup_simhash_hamming",
     "q_scrub_pii",
     "q_dedup_clusters",
+    # round-3 operators
+    "q_asof_latest_order",
+    "q_tfidf_top_terms",
 ]
 
 

@@ -133,6 +133,41 @@ def grouped_agg(
     return pa.table(cols)
 
 
+def grouped_top_k(
+    ds: "ray.data.Dataset",
+    group_cols: list[str],
+    sort_keys: list[tuple[str, str]],
+    k: int,
+) -> pa.Table:
+    """Per-group top-k (stratified selection) without a global sort.
+
+    Every block keeps its local top-k PER GROUP (one vectorized sort +
+    grouped head), so at most ``n_blocks x n_groups x k`` survivor rows
+    reach the driver merge — right when group cardinality is bounded
+    (languages, segments, day buckets).  For per-document groups prefer a
+    batch-local argmax (docs never span blocks after an explode).
+    ``sort_keys`` must totally order rows within a group for deterministic
+    output.
+    """
+    import pyarrow.compute as pc
+
+    def local(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=sort_keys)
+        df = b.take(idx).to_pandas()
+        return pa.Table.from_pandas(df.groupby(group_cols, sort=False)
+                                    .head(k), preserve_index=False)
+
+    parts = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    tables = _arrow_blocks(parts.materialize())
+    if not tables:
+        return _empty_like(ds)
+    merged = pa.concat_tables(tables, promote_options="default")
+    idx = pc.sort_indices(merged, sort_keys=sort_keys)
+    df = merged.take(idx).to_pandas()
+    return pa.Table.from_pandas(df.groupby(group_cols, sort=False).head(k),
+                                preserve_index=False).combine_chunks()
+
+
 def top_k(
     ds: "ray.data.Dataset",
     sort_keys: list[tuple[str, str]],

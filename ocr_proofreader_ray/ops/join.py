@@ -298,3 +298,93 @@ def shuffle_join(
     return lt.union(rt).groupby("__part").map_groups(
         join_partition, batch_format="pyarrow"
     )
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """As-of join: for each left row, the single right row with the same key
+    and the greatest ``right_ts`` at or before ``left_ts`` (backward
+    direction, inner semantics — unmatched left rows drop, like SQL
+    ``ASOF JOIN``).
+
+    Composition, not a new primitive: both sides hash-partition on the key
+    in ONE exchange (the same tag + union + groupby(part) plan as
+    ``shuffle_join``), and each partition resolves its matches with
+    pandas ``merge_asof`` (vectorized C, both sides sorted by timestamp).
+    Partitioning assumption: all rows of one key land in one partition.
+    Determinism requires the right side unique per (key, ts) — pre-reduce
+    duplicates upstream (e.g. keep max id per (key, ts)).
+    """
+    import numpy as np
+
+    if num_partitions is None:
+        num_partitions = _derive_num_partitions(left, right)
+
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"asof_join: column collision {overlap}")
+
+    def tag(side: int, key_col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            part = _partition_hash(b.column(key_col), num_partitions)
+            b = b.append_column("__part", part)
+            return b.append_column(
+                "__side", pa.array([side] * b.num_rows, pa.int8()))
+        return fn
+
+    def pad(missing: list[tuple[str, pa.DataType]], order: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            for name, typ in missing:
+                b = b.append_column(name, pa.nulls(b.num_rows, typ))
+            return b.select(order)
+        return fn
+
+    lschema = dict(zip(left.schema().names, left.schema().types))
+    rschema = dict(zip(right.schema().names, right.schema().types))
+    all_cols = lcols + rcols + ["__part", "__side"]
+    lt = left.map_batches(tag(0, on), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    rt = right.map_batches(tag(1, right_on), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    lt = lt.map_batches(pad(list(rschema.items()), all_cols),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    rt = rt.map_batches(pad(list(lschema.items()), all_cols),
+                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def asof_partition(g) -> "pa.Table":
+        import pandas as pd
+
+        l = g[g["__side"] == 0][lcols].sort_values(left_ts, kind="stable")
+        r = g[g["__side"] == 1][rcols].sort_values(right_ts, kind="stable")
+        if not len(l) or not len(r):
+            return pa.schema(list(lschema.items())
+                             + list(rschema.items())).empty_table()
+        # merge_asof demands identical temporal dtypes; sources may carry
+        # different units (e.g. timestamp[us] vs timestamp[s])
+        if l[left_ts].dtype != r[right_ts].dtype:
+            l = l.assign(**{left_ts: l[left_ts].astype("datetime64[us]")})
+            r = r.assign(**{right_ts: r[right_ts].astype("datetime64[us]")})
+        out = pd.merge_asof(l, r, left_on=left_ts, right_on=right_ts,
+                            left_by=on, right_by=right_on,
+                            direction="backward")
+        out = out[out[right_on].notna()]  # inner semantics
+        tab = pa.Table.from_pandas(out, preserve_index=False)
+        # merge_asof upcasts right ints to float for the NaN non-matches;
+        # cast back now that those rows are gone
+        for name, typ in rschema.items():
+            i = tab.schema.get_field_index(name)
+            if tab.schema.field(i).type != typ:
+                tab = tab.set_column(i, name, pc.cast(tab.column(name), typ))
+        return tab.select(lcols + rcols)
+
+    return lt.union(rt).groupby("__part").map_groups(
+        asof_partition, batch_format="pandas")

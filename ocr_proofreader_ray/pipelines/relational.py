@@ -28,6 +28,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ocr_proofreader_ray.ops.agg import grouped_agg, top_k
 from ocr_proofreader_ray.ops.join import (
+    asof_join,
     broadcast_join,
     broadcast_semi_anti,
     shuffle_join,
@@ -812,6 +813,163 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
 
     ds = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
     return ds.groupby("part").map_groups(sessionize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# B17 (round 3) — as-of join, moving-window aggregate, stratified sample,
+# pivot: the non-equi / window / stratification surface, all oracle-checked
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_asof_latest_order",
+    sql="""
+    WITH ord AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o.o_orderkey
+    FROM events e ASOF JOIN ord o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def q_asof_latest_order(sf_dir: str):
+    """As-of join (non-equi): each event matched to the user's most recent
+    order at or before the event timestamp — ``ops/join.py::asof_join``,
+    one hash exchange + per-partition vectorized ``merge_asof``.  The right
+    side is pre-reduced to one order per (custkey, orderdate) (max key) so
+    the as-of match is unique and deterministic in both engines."""
+    ev = t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+    ord_red = grouped_agg(orders, ["o_custkey", "o_orderdate"],
+                          [("o_orderkey", "max", "o_orderkey")], final="ray")
+    joined = asof_join(ev, ord_red, on="user_id", right_on="o_custkey",
+                       left_ts="ts", right_ts="o_orderdate")
+    return joined.map_batches(
+        lambda b: b.select(["event_id", "user_id", "o_orderkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register(
+    "q_revenue_moving_7d",
+    sql="""
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY day
+    )
+    SELECT day, rev_cents,
+           CAST(sum(rev_cents) OVER (ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS rev_7d_cents
+    FROM daily
+    """,
+)
+def q_revenue_moving_7d(sf_dir: str):
+    """Moving-window aggregate: 7-row trailing revenue sum over the daily
+    series.  The heavy half (per-day grouped sum) is the distributed
+    combiner aggregate; the window itself runs on the DAY-count-bounded
+    driver table as one numpy cumsum — a day series is tiny at any corpus
+    scale, so a distributed window would shuffle for nothing."""
+    orders = t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.strftime(b.column("o_orderdate"), format="%Y-%m-%d"),
+            "cents": to_units(b.column("o_totalprice"), 100),
+        })
+
+    daily = grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["day"], [("cents", "sum", "rev_cents")])
+    daily = daily.take(pc.sort_indices(daily,
+                                       sort_keys=[("day", "ascending")]))
+    rev = daily.column("rev_cents").to_numpy()
+    c = np.cumsum(rev)
+    roll = c.copy()
+    roll[7:] = c[7:] - c[:-7]
+    return pa.table({
+        "day": daily.column("day"),
+        "rev_cents": daily.column("rev_cents"),
+        "rev_7d_cents": pa.array(roll, pa.int64()),
+    })
+
+
+@register(
+    "q_stratified_sample_lang",
+    sql="""
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY (doc_id * 96731) % 1000003,
+                                           doc_id) AS rn
+        FROM documents) WHERE rn <= 3
+    """,
+)
+def q_stratified_sample_lang(sf_dir: str, k: int = 3):
+    """Deterministic stratified sample: k docs per language, chosen by an
+    arithmetic hash rank both engines compute identically (no RNG).
+    ``ops/agg.py::grouped_top_k``: each block keeps its local per-group
+    top-k, the driver merges blocks x groups x k survivor rows — no
+    global sort, no shuffle."""
+    from ocr_proofreader_ray.ops.agg import grouped_top_k
+
+    docs = t(sf_dir, "documents", ["doc_id", "lang"])
+
+    def hkey(b: pa.Table) -> pa.Table:
+        h = imod(pc.multiply(b.column("doc_id"), pa.scalar(96731)), 1000003)
+        return pa.table({"lang": b.column("lang"),
+                         "doc_id": b.column("doc_id"),
+                         "hkey": pc.cast(h, pa.int64())})
+
+    sampled = grouped_top_k(
+        docs.map_batches(hkey, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"], [("hkey", "ascending"), ("doc_id", "ascending")], k)
+    return sampled.select(["lang", "doc_id"])
+
+
+@register(
+    "q_revenue_pivot",
+    sql="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN c ELSE 0 END) AS BIGINT) AS urgent_cents,
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                         THEN c ELSE 0 END) AS BIGINT) AS high_cents,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN c ELSE 0 END) AS BIGINT) AS other_cents
+    FROM (SELECT o_orderdate, o_orderpriority,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+          FROM orders)
+    GROUP BY yr
+    """,
+)
+def q_revenue_pivot(sf_dir: str):
+    """Pivot (conditional aggregation): revenue by year split into priority
+    columns — per-batch vectorized if_else masks feed the combiner
+    aggregate, so the pivot costs exactly one grouped sum."""
+    orders = t(sf_dir, "orders",
+               ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        c = to_units(b.column("o_totalprice"), 100)
+        pr = b.column("o_orderpriority")
+        urgent = pc.equal(pr, pa.scalar("1-URGENT"))
+        high = pc.equal(pr, pa.scalar("2-HIGH"))
+        other = pc.invert(pc.or_(urgent, high))
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "yr": pc.cast(pc.year(b.column("o_orderdate")), pa.int64()),
+            "u": pc.if_else(urgent, c, zero),
+            "h": pc.if_else(high, c, zero),
+            "o": pc.if_else(other, c, zero),
+        })
+
+    return grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["yr"], [("u", "sum", "urgent_cents"),
+                 ("h", "sum", "high_cents"),
+                 ("o", "sum", "other_cents")])
 
 
 # ---------------------------------------------------------------------------

@@ -543,3 +543,94 @@ def q_doc_length_quantiles(sf_dir: str):
         "p99": pa.array(out["p99"], pa.int64()),
         "n_docs": pa.array(out["n_docs"], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top term per document (round 3) — joins the doc-term matrix with a
+# broadcast document-frequency table, exact-integer scoring
+# ---------------------------------------------------------------------------
+
+def _doc_term_counts(b: pa.Table) -> pa.Table:
+    """Per-(doc, token) term frequencies; a doc is one row, so its tf rows
+    are exact within the batch.  Splits on single spaces (the corpus
+    contract the other token oracles use) and drops empty tokens."""
+    from collections import Counter
+
+    ids, toks, tfs = [], [], []
+    for d, text in zip(b.column("doc_id").to_pylist(),
+                       b.column("text").to_pylist()):
+        counts = Counter(tk for tk in (text or "").split(" ") if tk)
+        for tk in sorted(counts):
+            ids.append(d)
+            toks.append(tk)
+            tfs.append(counts[tk])
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "tok": pa.array(toks, pa.string()),
+                     "tf": pa.array(tfs, pa.int64())})
+
+
+@register(
+    "q_tfidf_top_terms",
+    sql="""
+    WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+        WHERE tok <> '' GROUP BY doc_id, tok
+    ), df AS (
+        SELECT tok, count(*) AS df FROM tf GROUP BY tok
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    )
+    SELECT doc_id, tok AS top_term,
+           CAST((tf.tf * 1000000 * n.n_docs) // df.df AS BIGINT) AS score
+    FROM tf JOIN df USING (tok) CROSS JOIN n
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, tok ASC) = 1
+    """,
+)
+def q_tfidf_top_terms(sf_dir: str):
+    """Highest-TF-IDF term per document.
+
+    Scoring is exact-integer: score = tf * 1e6 * n_docs // df (floor
+    division on positive ints — bit-identical in both engines; no float
+    log).  Plan: one pass builds (doc, tok, tf) partials whose grouped
+    count yields the document-frequency table (vocabulary-sized →
+    broadcast); a second pass recomputes each doc's tf IN-BATCH and takes
+    the per-doc argmax locally — a doc is one input row, so its terms
+    never span blocks and no per-doc shuffle exists.  The text is
+    tokenized twice by design: the alternative (reusing the tf dataset)
+    would break if Ray's dynamic block splitting ever cut a doc's tf rows
+    across blocks.
+    """
+    from ocr_proofreader_ray.ops.join import _fetch
+
+    import ray
+
+    ds = t(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata
+
+    tf_ds = ds.map_batches(_doc_term_counts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    df_tab = grouped_agg(tf_ds, ["tok"], [(None, "count", "df")])
+    df_ref = ray.put(dict(zip(df_tab.column("tok").to_pylist(),
+                              df_tab.column("df").to_pylist())))
+
+    def score_argmax(b: pa.Table) -> pa.Table:
+        dfs = _fetch(df_ref)
+        tf = _doc_term_counts(b)
+        score = [(n * 1_000_000 * n_docs) // dfs[tk]
+                 for tk, n in zip(tf.column("tok").to_pylist(),
+                                  tf.column("tf").to_pylist())]
+        tab = pa.table({"doc_id": tf.column("doc_id"),
+                        "top_term": tf.column("tok"),
+                        "score": pa.array(score, pa.int64())})
+        idx = pc.sort_indices(tab, sort_keys=[("doc_id", "ascending"),
+                                              ("score", "descending"),
+                                              ("top_term", "ascending")])
+        df = tab.take(idx).to_pandas()
+        return pa.Table.from_pandas(df.groupby("doc_id", sort=False).head(1),
+                                    preserve_index=False)
+
+    return ds.map_batches(score_argmax, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -1,0 +1,81 @@
+"""Unit semantics of the round-3 ops: as-of join (backward, inner,
+per-key) and per-group top-k (stratified selection)."""
+
+import pyarrow as pa
+import pytest
+
+
+def _ts(s: str):
+    import pandas as pd
+
+    return pd.Timestamp(s)
+
+
+def test_asof_join_backward_inner_semantics(ray_session):
+    import ray.data
+
+    from ocr_proofreader_ray.ops.join import asof_join
+
+    left = ray.data.from_arrow(pa.table({
+        "eid": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "k": pa.array([10, 10, 10, 20, 30], pa.int64()),
+        "ts": pa.array([_ts("2024-01-05"), _ts("2024-01-10"),
+                        _ts("2024-01-01"), _ts("2024-01-05"),
+                        _ts("2024-01-05")]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([10, 10, 20], pa.int64()),
+        "rid": pa.array([100, 101, 200], pa.int64()),
+        "rts": pa.array([_ts("2024-01-03"), _ts("2024-01-08"),
+                         _ts("2024-01-05")]),
+    }))
+    out = {r["eid"]: r["rid"] for r in
+           asof_join(left, right, on="k", right_on="rk",
+                     left_ts="ts", right_ts="rts").take_all()}
+    assert out == {
+        1: 100,  # latest right at/before 01-05 is 01-03
+        2: 101,  # 01-08 <= 01-10
+        4: 200,  # exact-match timestamps join (allow_exact_matches)
+        # eid 3 (before any right) and eid 5 (key 30 unmatched) drop
+    }
+
+
+def test_asof_join_rejects_column_collision(ray_session):
+    import ray.data
+
+    from ocr_proofreader_ray.ops.join import asof_join
+
+    a = ray.data.from_arrow(pa.table({"k": [1], "ts": [1]}))
+    b = ray.data.from_arrow(pa.table({"k": [1], "rts": [1]}))
+    with pytest.raises(ValueError):
+        asof_join(a, b, on="k", right_on="k", left_ts="ts", right_ts="rts")
+
+
+def test_grouped_top_k_per_group_and_determinism(ray_session):
+    import numpy as np
+    import ray.data
+
+    from ocr_proofreader_ray.ops.agg import grouped_top_k
+
+    rng = np.random.RandomState(0)
+    n = 5000
+    tab = pa.table({
+        "g": pa.array(rng.randint(0, 5, n), pa.int64()),
+        "v": pa.array(rng.permutation(n), pa.int64()),
+    })
+    # single-member group: fewer rows than k must be fine
+    tab = pa.concat_tables([tab, pa.table({"g": pa.array([99], pa.int64()),
+                                           "v": pa.array([7], pa.int64())})])
+    ds = ray.data.from_arrow(tab).repartition(8)
+    out = grouped_top_k(ds, ["g"], [("v", "ascending")], 3)
+
+    df = tab.to_pandas()
+    want = (df.sort_values("v").groupby("g").head(3)
+            .sort_values(["g", "v"]).reset_index(drop=True))
+    got = (out.to_pandas().sort_values(["g", "v"]).reset_index(drop=True))
+    assert got.equals(want)
+
+    again = grouped_top_k(ray.data.from_arrow(tab).repartition(3),
+                          ["g"], [("v", "ascending")], 3)
+    assert (again.to_pandas().sort_values(["g", "v"])
+            .reset_index(drop=True).equals(want))
