@@ -51,6 +51,49 @@ def test_asof_join_rejects_column_collision(ray_session):
         asof_join(a, b, on="k", right_on="k", left_ts="ts", right_ts="rts")
 
 
+@pytest.mark.parametrize("seed", [0, 7, 23])
+def test_asof_join_matches_pandas_reference(ray_session, seed):
+    """Randomized cross-check: the distributed as-of join must equal a
+    single-frame pandas merge_asof over the same data (right side unique
+    per (key, ts) — the op's documented determinism precondition)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ocr_proofreader_ray.ops.join import asof_join
+
+    rng = np.random.RandomState(seed)
+    n_l, n_r = 400, 120
+    left = pd.DataFrame({
+        "eid": np.arange(n_l),
+        "k": rng.randint(0, 20, n_l),
+        "ts": pd.to_datetime(rng.randint(0, 10_000, n_l), unit="s"),
+    })
+    right = (pd.DataFrame({
+        "rk": rng.randint(0, 25, n_r),
+        "rts": pd.to_datetime(rng.randint(0, 10_000, n_r), unit="s"),
+        "rid": np.arange(n_r),
+    }).groupby(["rk", "rts"], as_index=False).agg(rid=("rid", "max")))
+
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("rts", kind="stable"),
+        left_on="ts", right_on="rts", left_by="k", right_by="rk",
+        direction="backward")
+    want = (want[want["rk"].notna()]
+            .astype({"rk": "int64", "rid": "int64"})
+            [["eid", "k", "rid"]].sort_values("eid").reset_index(drop=True))
+
+    got_ds = asof_join(
+        ray.data.from_arrow(pa.Table.from_pandas(left)).repartition(5),
+        ray.data.from_arrow(pa.Table.from_pandas(right[["rk", "rts", "rid"]])
+                            ).repartition(3),
+        on="k", right_on="rk", left_ts="ts", right_ts="rts")
+    got = (pd.DataFrame(got_ds.take_all())[["eid", "k", "rid"]]
+           .sort_values("eid").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_grouped_top_k_per_group_and_determinism(ray_session):
     import numpy as np
     import ray.data
