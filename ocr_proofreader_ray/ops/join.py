@@ -308,6 +308,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     num_partitions: int | None = None,
+    right_tiebreak: str | None = None,
 ) -> "ray.data.Dataset":
     """As-of join: for each left row, the single right row with the same key
     and the greatest ``right_ts`` at or before ``left_ts`` (backward
@@ -319,8 +320,12 @@ def asof_join(
     ``shuffle_join``), and each partition resolves its matches with
     pandas ``merge_asof`` (vectorized C, both sides sorted by timestamp).
     Partitioning assumption: all rows of one key land in one partition.
-    Determinism requires the right side unique per (key, ts) — pre-reduce
-    duplicates upstream (e.g. keep max id per (key, ts)).
+    Determinism with duplicate right (key, ts) rows: pass
+    ``right_tiebreak=<col>`` — the MAX tiebreak value wins (the right side
+    sorts by (ts, tiebreak) and ``merge_asof`` selects the last row among
+    equal timestamps), resolved inside the partition with no extra
+    aggregate pass.  Without a tiebreak the right side must be unique per
+    (key, ts); pre-reduce upstream.
     """
     import numpy as np
 
@@ -364,7 +369,9 @@ def asof_join(
         import pandas as pd
 
         l = g[g["__side"] == 0][lcols].sort_values(left_ts, kind="stable")
-        r = g[g["__side"] == 1][rcols].sort_values(right_ts, kind="stable")
+        r_sort = ([right_ts, right_tiebreak] if right_tiebreak
+                  else [right_ts])
+        r = g[g["__side"] == 1][rcols].sort_values(r_sort, kind="stable")
         if not len(l) or not len(r):
             return pa.schema(list(lschema.items())
                              + list(rschema.items())).empty_table()

@@ -598,7 +598,12 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
     group_n = max(1, cfg.chunks_per_exec)
     pending1 = []
     for chunk_id, chunk_files in enumerate(chunks):
-        fp = mstate.fingerprint_files(chunk_files)
+        # the whale cap changes pass-1 OUTPUT for the same input bytes, so
+        # it is part of the fingerprint: resuming with a different cap must
+        # invalidate completed chunks or resumed output would no longer be
+        # byte-identical to a fresh run
+        fp = (mstate.fingerprint_files(chunk_files)
+              + f":cap={cfg.whale_max_html_bytes}")
         if not m1.completed(chunk_id, fp):
             pending1.append((chunk_id, fp, chunk_files))
 
@@ -639,6 +644,10 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
     dict_fp = mstate.fingerprint_content(cfg.dict_path)
     if cfg.fix_log_path:
         dict_fp += ":" + mstate.fingerprint_content(cfg.fix_log_path)
+    # pass-2 consumes pass-1's raw text, so its fingerprint carries the cap
+    # too: a cap change with a coincidentally unchanged dictionary must
+    # still re-correct the re-extracted chunks
+    dict_fp += f":cap={cfg.whale_max_html_bytes}"
     pending2 = [(chunk_id, mstate.fingerprint_files(chunk_files) + ":" + dict_fp,
                  chunk_files)
                 for chunk_id, chunk_files in enumerate(chunks)]

@@ -412,6 +412,42 @@ def q_order_priority_revenue(sf_dir: str):
 
 
 @register(
+    "q_order_priority_revenue_salted",
+    sql="""
+    SELECT o.o_orderpriority,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_ucents,
+           count(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_order_priority_revenue_salted(sf_dir: str):
+    """The same fact-fact join under skew salting (salt=4): every left row
+    takes a salt, the right side replicates once per salt, and __salt joins
+    as an extra key — identical results to the unsalted plan (same oracle),
+    with a dominant key spread over 4 partitions.  Registered end-to-end so
+    the salting path sits behind the driver's correctness gate, not only a
+    unit test."""
+    li = t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "rev_ucents": to_units(r, 10000)})
+
+    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    orders = t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = shuffle_join(li, orders, on=("l_orderkey",),
+                          right_on=("o_orderkey",), salt=4)
+    return grouped_agg(joined, ["o_orderpriority"], [
+        ("rev_ucents", "sum", "revenue_ucents"),
+        (None, "count", "n_items"),
+    ])
+
+
+@register(
     "q_urgent_order_revenue",
     sql="""
     SELECT CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000
@@ -835,15 +871,15 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
 def q_asof_latest_order(sf_dir: str):
     """As-of join (non-equi): each event matched to the user's most recent
     order at or before the event timestamp — ``ops/join.py::asof_join``,
-    one hash exchange + per-partition vectorized ``merge_asof``.  The right
-    side is pre-reduced to one order per (custkey, orderdate) (max key) so
-    the as-of match is unique and deterministic in both engines."""
+    one hash exchange + per-partition vectorized ``merge_asof``.  Ties on
+    (custkey, orderdate) resolve to the max o_orderkey INSIDE the
+    partition (``right_tiebreak``) — same semantics as the oracle's
+    pre-reduce, without a separate aggregate shuffle."""
     ev = t(sf_dir, "events", ["event_id", "user_id", "ts"])
     orders = t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
-    ord_red = grouped_agg(orders, ["o_custkey", "o_orderdate"],
-                          [("o_orderkey", "max", "o_orderkey")], final="ray")
-    joined = asof_join(ev, ord_red, on="user_id", right_on="o_custkey",
-                       left_ts="ts", right_ts="o_orderdate")
+    joined = asof_join(ev, orders, on="user_id", right_on="o_custkey",
+                       left_ts="ts", right_ts="o_orderdate",
+                       right_tiebreak="o_orderkey")
     return joined.map_batches(
         lambda b: b.select(["event_id", "user_id", "o_orderkey"]),
         batch_format="pyarrow", zero_copy_batch=True)

@@ -40,6 +40,29 @@ def test_asof_join_backward_inner_semantics(ray_session):
     }
 
 
+def test_asof_join_tiebreak_picks_max(ray_session):
+    """Duplicate right (key, ts) rows with right_tiebreak: the max tiebreak
+    value must win, deterministically, without a pre-reduce."""
+    import ray.data
+
+    from ocr_proofreader_ray.ops.join import asof_join
+
+    left = ray.data.from_arrow(pa.table({
+        "eid": pa.array([1], pa.int64()),
+        "k": pa.array([10], pa.int64()),
+        "ts": pa.array([_ts("2024-01-05")]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([10, 10, 10], pa.int64()),
+        "rid": pa.array([102, 100, 101], pa.int64()),
+        "rts": pa.array([_ts("2024-01-03")] * 3),
+    })).repartition(3)
+    out = asof_join(left, right, on="k", right_on="rk",
+                    left_ts="ts", right_ts="rts",
+                    right_tiebreak="rid").take_all()
+    assert [r["rid"] for r in out] == [102]
+
+
 def test_asof_join_rejects_column_collision(ray_session):
     import ray.data
 

@@ -248,3 +248,22 @@ def test_whale_truncation_capped_and_counted(ray_session, pages_dir, tmp_path):
             rec = json.load(f)
         total += rec["counters"]["extract"]["docs_truncated"]
     assert total == len(expect_truncated)
+
+
+def test_whale_cap_change_invalidates_resume(ray_session, pages_dir, tmp_path):
+    """Resuming with a different whale cap must re-run, not reuse, completed
+    chunks: the cap changes pass-1 output for identical input bytes, so it
+    is part of both passes' fingerprints."""
+    work = str(tmp_path / "work")
+    _run(pages_dir, work)  # default cap: nothing truncated
+    capped = _run(pages_dir, work, whale_max_html_bytes=50_000)  # resume
+    fresh = _run(pages_dir, str(tmp_path / "fresh"),
+                 whale_max_html_bytes=50_000)
+    assert {u: r["extracted_text"] for u, r in capped.items()} == \
+           {u: r["extracted_text"] for u, r in fresh.items()}
+    # and the capped rerun really truncated something (not a vacuous pass)
+    n_trunc = 0
+    for p in glob.glob(f"{work}/manifest/pass1/chunk-*.json"):
+        with open(p) as f:
+            n_trunc += json.load(f)["counters"]["extract"]["docs_truncated"]
+    assert n_trunc > 0
