@@ -21,6 +21,7 @@ import ray.data
 from ocr_proofreader_ray.ops.agg import grouped_agg
 from ocr_proofreader_ray.pipelines.registry import register
 from ocr_proofreader_ray.stages.media import (
+    AudioFeatureStage,
     FrameSampleStage,
     ImageFeatureStage,
     synthesize_media_batch,
@@ -85,6 +86,21 @@ def q_image_features(sf_dir: str):
     return ds.select_columns(
         ["doc_id", "dec_w", "dec_h", "body_bytes", "mean_val", "std_val",
          "thumbnail"])
+
+
+@register("q_audio_features")  # stubbed codec: rows-only driver check
+def q_audio_features(sf_dir: str):
+    """Windowed audio features (energy + zero-crossing per 256-byte frame)
+    over audio-kind media — the framing/aggregation layout a real PCM
+    feature stage emits, with exact-integer outputs."""
+    ds = media_dataset(sf_dir)
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), "audio")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        AudioFeatureStage, fn_constructor_args=(256,),
+        batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, 4), num_cpus=1)
 
 
 @register("q_video_frames")  # stubbed codec: rows-only driver check

@@ -229,6 +229,54 @@ class ImageFeatureStage:
                 .append_column("thumbnail", pa.array(thumbs, pa.binary())))
 
 
+class AudioFeatureStage:
+    """Audio feature extraction: windowed energy/zero-crossing over the fake
+    PCM (body bytes stand in for samples; a real stage would decode WAV and
+    run the same framing over int16 PCM here).
+
+    Per audio row: frame the body into ``win``-byte windows (stride =
+    window, no overlap), then emit exact-integer aggregates — window
+    count, mean per-window RMS energy in milli-units, mean zero-crossing
+    rate in milli-crossings (sign changes of the centered byte deltas),
+    and duration_ms from the header's (rate, n_samples).  Integers keep
+    the output deterministic at any parallelism.
+    """
+
+    def __init__(self, win: int = 256):
+        self.win = win
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "sample_rate": [], "duration_ms": [],
+               "n_windows": [], "rms_milli": [], "zcr_milli": []}
+        for doc_id, payload in zip(batch.column("doc_id").to_pylist(),
+                                   batch.column("payload").to_pylist()):
+            _k, rate, n_samples, _f, body = _decode_one(payload)
+            if len(body) == 0:
+                body = np.zeros(1, np.uint8)
+            n_win = max(1, len(body) // self.win)
+            trimmed = body[: n_win * self.win].astype(np.float64)
+            frames = trimmed.reshape(n_win, -1)
+            centered = frames - 128.0
+            rms = np.sqrt((centered * centered).mean(axis=1))
+            signs = np.sign(centered)
+            crossings = (np.abs(np.diff(signs, axis=1)) > 1).sum(axis=1)
+            zcr = crossings / max(1, frames.shape[1] - 1)
+            out["doc_id"].append(doc_id)
+            out["sample_rate"].append(rate)
+            out["duration_ms"].append(int(n_samples) * 1000 // max(1, rate))
+            out["n_windows"].append(n_win)
+            out["rms_milli"].append(int(rms.mean() * 1000))
+            out["zcr_milli"].append(int(zcr.mean() * 1000))
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "sample_rate": pa.array(out["sample_rate"], pa.uint32()),
+            "duration_ms": pa.array(out["duration_ms"], pa.int64()),
+            "n_windows": pa.array(out["n_windows"], pa.int64()),
+            "rms_milli": pa.array(out["rms_milli"], pa.int64()),
+            "zcr_milli": pa.array(out["zcr_milli"], pa.int64()),
+        })
+
+
 class FrameSampleStage:
     """Video frame sampling: emit one row per sampled frame (flat_map shape).
 

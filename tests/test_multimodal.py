@@ -152,3 +152,34 @@ def test_fused_stage_matches_split_on_decode_failure():
     for col in ("dec_w", "dec_h", "dec_frames", "body_bytes",
                 "mean_val", "std_val"):
         assert fused.column(col).equals(dec.column(col)), col
+
+
+def test_audio_feature_stage_windows_and_determinism():
+    from ocr_proofreader_ray.stages.media import AudioFeatureStage, _decode_one
+
+    media = synthesize_media_batch(_docs_batch(30))
+    audio = media.filter(pc.equal(media.column("kind"), "audio"))
+    stage = AudioFeatureStage(win=16)
+    out = stage(audio)
+    assert out.num_rows == audio.num_rows
+    assert out.schema.names == ["doc_id", "sample_rate", "duration_ms",
+                                "n_windows", "rms_milli", "zcr_milli"]
+    for row, payload in zip(out.to_pylist(),
+                            audio.column("payload").to_pylist()):
+        _k, rate, n_samples, _f, body = _decode_one(payload)
+        assert row["sample_rate"] == rate
+        assert row["duration_ms"] == n_samples * 1000 // rate
+        assert row["n_windows"] == max(1, len(body) // 16)
+        assert row["rms_milli"] >= 0
+    # deterministic across instances
+    again = AudioFeatureStage(win=16)(audio)
+    assert again.equals(out)
+
+
+def test_audio_features_query_via_ray(ray_session):
+    from ocr_proofreader_ray.pipelines.multimodal import q_audio_features
+
+    rows = q_audio_features(SF).take_all()
+    assert rows and all(r["duration_ms"] > 0 for r in rows)
+    # audio kind = doc_id % 3 == 1
+    assert all(r["doc_id"] % 3 == 1 for r in rows)
