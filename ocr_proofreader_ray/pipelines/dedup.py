@@ -971,3 +971,29 @@ def q_dedup_clusters(sf_dir: str):
     docs = t(sf_dir, "documents", ["doc_id", "text"])
     pairs = minhash_lsh_pairs(docs, shingle_n=3, jaccard_threshold=0.5)
     return dedup_clusters(pairs)
+
+
+@register("q_dedup_keep")  # sketch-derived drop set: rows-only driver check
+def q_dedup_keep(sf_dir: str):
+    """The deduplicated corpus itself — the artifact a training-data dedup
+    pass actually ships: every document except non-representative members
+    of near-dup clusters (doc_id != rep_id drops).
+
+    The drop set is bounded by the duplicate count, not the corpus; it
+    broadcasts as an exact key set through ``broadcast_semi_anti`` below
+    `_BLOOM_SEMI_THRESHOLD`-scale sizes, and a duplicate-heavy crawl would
+    switch the filter to the same fixed-size Bloom plan the candidate
+    semi-filter uses (FPs there would only re-keep a few duplicates —
+    safe direction for an anti filter is the exact set, so the Bloom
+    variant must invert to keep-side membership; documented, not needed
+    at current drop-set sizes).  Output: the surviving (doc_id, lang,
+    source) rows.
+    """
+    clusters = q_dedup_clusters(sf_dir)
+    mask = pc.not_equal(clusters.column("doc_id"), clusters.column("rep_id"))
+    drop_ids = clusters.filter(mask).column("doc_id")
+    docs = t(sf_dir, "documents", ["doc_id", "lang", "source"])
+    if len(drop_ids) == 0:
+        return docs
+    return broadcast_semi_anti(docs, drop_ids.combine_chunks(),
+                               on="doc_id", anti=True)

@@ -331,6 +331,28 @@ def test_simhash_hamming_degenerate_buckets_stay_linear(ray_session):
     assert not any(p["doc_b"] > m for p in pairs)  # empty docs pair-free
 
 
+def test_dedup_keep_drops_cluster_members(ray_session, tmp_path):
+    """q_dedup_keep must drop exactly the non-representative members of
+    near-dup clusters and keep everything else."""
+    import pyarrow.parquet as pq
+
+    from ocr_proofreader_ray.pipelines.dedup import q_dedup_keep
+
+    base = " ".join(f"tok{i % 40}x{i % 7}" for i in range(120))
+    rows = [
+        {"doc_id": 1, "text": base, "lang": "en", "source": "a"},
+        {"doc_id": 2, "text": base, "lang": "en", "source": "a"},
+        {"doc_id": 3, "text": base.replace("tok3x3", "changed", 1),
+         "lang": "en", "source": "a"},
+        {"doc_id": 4, "text": " ".join(f"zzz{i}" for i in range(120)),
+         "lang": "de", "source": "b"},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    kept = sorted(r["doc_id"] for r in q_dedup_keep(str(tmp_path)).take_all())
+    assert kept == [1, 4]  # 2 and 3 collapse into 1's cluster
+
+
 def test_label_propagation_matches_union_find(ray_session):
     """VERDICT r02 #9: the distributed min-label-propagation fallback must
     produce exactly the union-find components — including a long chain
