@@ -154,8 +154,11 @@ def grouped_top_k(
     def local(b: pa.Table) -> pa.Table:
         idx = pc.sort_indices(b, sort_keys=sort_keys)
         df = b.take(idx).to_pandas()
-        return pa.Table.from_pandas(df.groupby(group_cols, sort=False)
-                                    .head(k), preserve_index=False)
+        # dropna=False: a null group key is a group (SQL window PARTITION BY
+        # semantics — the oracle keeps a NULL stratum, so must we)
+        return pa.Table.from_pandas(
+            df.groupby(group_cols, sort=False, dropna=False).head(k),
+            preserve_index=False, schema=b.schema)
 
     parts = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
     tables = _arrow_blocks(parts.materialize())
@@ -164,8 +167,9 @@ def grouped_top_k(
     merged = pa.concat_tables(tables, promote_options="default")
     idx = pc.sort_indices(merged, sort_keys=sort_keys)
     df = merged.take(idx).to_pandas()
-    return pa.Table.from_pandas(df.groupby(group_cols, sort=False).head(k),
-                                preserve_index=False).combine_chunks()
+    return pa.Table.from_pandas(
+        df.groupby(group_cols, sort=False, dropna=False).head(k),
+        preserve_index=False, schema=merged.schema).combine_chunks()
 
 
 def top_k(

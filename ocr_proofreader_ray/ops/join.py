@@ -365,6 +365,8 @@ def asof_join(
     rt = rt.map_batches(pad(list(lschema.items()), all_cols),
                         batch_format="pyarrow", zero_copy_batch=True)
 
+    out_schema = pa.schema(list(lschema.items()) + list(rschema.items()))
+
     def asof_partition(g) -> "pa.Table":
         import pandas as pd
 
@@ -372,9 +374,12 @@ def asof_join(
         r_sort = ([right_ts, right_tiebreak] if right_tiebreak
                   else [right_ts])
         r = g[g["__side"] == 1][rcols].sort_values(r_sort, kind="stable")
+        # null timestamps can never satisfy ts >= rts: drop them (SQL inner
+        # ASOF semantics) — merge_asof would otherwise raise on NaT keys
+        l = l[l[left_ts].notna()]
+        r = r[r[right_ts].notna()]
         if not len(l) or not len(r):
-            return pa.schema(list(lschema.items())
-                             + list(rschema.items())).empty_table()
+            return out_schema.empty_table()
         # merge_asof demands identical temporal dtypes; sources may carry
         # different units (e.g. timestamp[us] vs timestamp[s])
         if l[left_ts].dtype != r[right_ts].dtype:
@@ -384,14 +389,14 @@ def asof_join(
                             left_by=on, right_by=right_on,
                             direction="backward")
         out = out[out[right_on].notna()]  # inner semantics
-        tab = pa.Table.from_pandas(out, preserve_index=False)
-        # merge_asof upcasts right ints to float for the NaN non-matches;
-        # cast back now that those rows are gone
-        for name, typ in rschema.items():
-            i = tab.schema.get_field_index(name)
-            if tab.schema.field(i).type != typ:
-                tab = tab.set_column(i, name, pc.cast(tab.column(name), typ))
-        return tab.select(lcols + rcols)
+        # restore EVERY column to its source Arrow type: the union's null
+        # padding and merge_asof's NaN non-matches upcast ints (both sides)
+        # to float64 in pandas; from_pandas with an explicit type turns the
+        # remaining NaNs back into nulls instead of failing the int cast
+        return pa.table(
+            {name: pa.Array.from_pandas(out[name], type=typ)
+             for name, typ in zip(out_schema.names, out_schema.types)},
+            schema=out_schema)
 
     return lt.union(rt).groupby("__part").map_groups(
         asof_partition, batch_format="pandas")

@@ -153,6 +153,17 @@ def _band_rows(docs: "ray.data.Dataset", shingle_n: int,
 # Pair QUERIES above the cap return the star subset; that is a documented
 # semantic cutover, because the exact all-pairs answer is itself
 # quadratically large there and no engine should return it at scale.
+#
+# Mixed-family flood buckets (code-review r03): could star edges through a
+# family-A min prune away an unrelated family B that shares the bucket?
+# Only if A and B collide on a band key, which requires their minhash
+# signatures to agree on all of that band's rows — i.e. the families are
+# already Jaccard-similar; genuinely unrelated docs collide on a band with
+# probability ~2^-256 per band-key bit pattern.  And B still gets its own
+# all-pairs emission from every OTHER band where its members agree without
+# A (B's family-specific buckets are |B|-sized); losing B entirely would
+# need ALL 32 of its bands flooded past the cap by A-like members, which
+# again forces A≈B at the signature level — where min-to-B edges verify.
 _STAR_BUCKET_CAP = 64
 
 
@@ -770,7 +781,7 @@ def q_dedup_embedding(sf_dir: str, threshold: float = 0.99,
     """
     emb = t(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
     if scheme is None:
-        # metadata-cheap parquet row count; test scales resolve to (8, 12)
+        # metadata-cheap parquet row count; test scales resolve to (8, 10)
         scheme = _emb_scheme(emb.count(), threshold)
     emb_bits, emb_tables = scheme
 

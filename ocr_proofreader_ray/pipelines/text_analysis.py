@@ -77,8 +77,9 @@ def q_token_regex(sf_dir: str):
     """BPE-ish regex token counting: word pieces = alnum runs, every other
     non-space char its own token (the GPT-2 pre-tokenizer shape, simplified
     to what DuckDB's regex engine can replicate exactly: each match is
-    replaced by one 'x', so output length == token count).  The compiled
-    pattern lives in module state — compiled once per worker process."""
+    replaced by one 'x', so output length == token count).  Counting runs
+    in polars' vectorized Rust regex engine (count_matches reproduces
+    re.findall counts exactly)."""
     ds = t(sf_dir, "documents", ["lang", "text"])
 
     def count(b: pa.Table) -> pa.Table:
@@ -618,19 +619,26 @@ def q_tfidf_top_terms(sf_dir: str):
 
     tf_ds = ds.map_batches(_doc_term_counts, batch_format="pyarrow",
                            zero_copy_batch=True)
+    # broadcast the df table AS ARROW (code-review r03: a Python dict costs
+    # ~10x the memory per worker and forces per-row lookups); each batch
+    # joins against it with the Arrow C++ hash join and scores vectorized.
+    # Integer-exact while tf * 1e6 * n_docs < 2^63 — the same bound the SQL
+    # BIGINT oracle has, so both engines overflow (and would need a wider
+    # score unit) together.
     df_tab = grouped_agg(tf_ds, ["tok"], [(None, "count", "df")])
-    df_ref = ray.put(dict(zip(df_tab.column("tok").to_pylist(),
-                              df_tab.column("df").to_pylist())))
+    df_ref = ray.put(df_tab.combine_chunks())
 
     def score_argmax(b: pa.Table) -> pa.Table:
-        dfs = _fetch(df_ref)
+        dfs: pa.Table = _fetch(df_ref)
         tf = _doc_term_counts(b)
-        score = [(n * 1_000_000 * n_docs) // dfs[tk]
-                 for tk, n in zip(tf.column("tok").to_pylist(),
-                                  tf.column("tf").to_pylist())]
-        tab = pa.table({"doc_id": tf.column("doc_id"),
-                        "top_term": tf.column("tok"),
-                        "score": pa.array(score, pa.int64())})
+        joined = tf.join(dfs, keys=["tok"])
+        score = pc.divide(
+            pc.multiply(joined.column("tf"),
+                        pa.scalar(1_000_000 * n_docs, pa.int64())),
+            joined.column("df"))
+        tab = pa.table({"doc_id": joined.column("doc_id"),
+                        "top_term": joined.column("tok"),
+                        "score": pc.cast(score, pa.int64())})
         idx = pc.sort_indices(tab, sort_keys=[("doc_id", "ascending"),
                                               ("score", "descending"),
                                               ("top_term", "ascending")])

@@ -63,6 +63,51 @@ def test_asof_join_tiebreak_picks_max(ray_session):
     assert [r["rid"] for r in out] == [102]
 
 
+def test_asof_join_preserves_dtypes_and_drops_null_ts(ray_session):
+    """code-review r03: the union's null padding upcast LEFT int columns to
+    float64 (only right ones were restored), and a single NaT timestamp
+    crashed merge_asof — ints must come back int64 and null-ts rows must
+    drop (SQL inner ASOF semantics)."""
+    import ray.data
+
+    from ocr_proofreader_ray.ops.join import asof_join
+
+    left = ray.data.from_arrow(pa.table({
+        "eid": pa.array([1, 2, 3], pa.int64()),
+        "k": pa.array([10, 10, 10], pa.int64()),
+        "ts": pa.array([_ts("2024-01-05"), None, _ts("2024-01-06")]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([10, 10], pa.int64()),
+        "rid": pa.array([100, 101], pa.int64()),
+        "rts": pa.array([_ts("2024-01-03"), None]),
+    }))
+    out = asof_join(left, right, on="k", right_on="rk",
+                    left_ts="ts", right_ts="rts")
+    tab = pa.Table.from_pylist(out.take_all())
+    assert sorted(tab.column("eid").to_pylist()) == [1, 3]  # NaT row gone
+    schema = out.schema()
+    for name in ("eid", "k", "rid"):
+        assert schema.base_schema.field(name).type == pa.int64(), name
+
+
+def test_grouped_top_k_keeps_null_group(ray_session):
+    """code-review r03: a null group key is a stratum (SQL PARTITION BY
+    keeps NULL partitions) — pandas' dropna default must not eat it."""
+    import ray.data
+
+    from ocr_proofreader_ray.ops.agg import grouped_top_k
+
+    tab = pa.table({
+        "g": pa.array(["a", "a", "a", None, None], pa.string()),
+        "v": pa.array([3, 1, 2, 5, 4], pa.int64()),
+    })
+    out = grouped_top_k(ray.data.from_arrow(tab).repartition(2),
+                        ["g"], [("v", "ascending")], 2)
+    rows = sorted(((r["g"] or "~"), r["v"]) for r in out.to_pylist())
+    assert rows == [("a", 1), ("a", 2), ("~", 4), ("~", 5)]
+
+
 def test_asof_join_rejects_column_collision(ray_session):
     import ray.data
 
