@@ -34,6 +34,11 @@ class KLLSketch:
         self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
         self.n = 0
         self._odd: list[bool] = [False]  # alternating compaction offsets
+        # exact stream extremes (standard KLL practice — compaction offers
+        # no transitive guarantee for the tails): quantile(0)/quantile(1)
+        # return these exactly
+        self.min = float("inf")
+        self.max = float("-inf")
 
     # -- capacity ---------------------------------------------------------
     def _capacity(self, level: int) -> int:
@@ -47,6 +52,8 @@ class KLLSketch:
         if v.size == 0:
             return
         self.n += int(v.size)
+        self.min = min(self.min, float(v.min()))
+        self.max = max(self.max, float(v.max()))
         self.levels[0] = np.concatenate([self.levels[0], v])
         self._compress()
 
@@ -58,12 +65,14 @@ class KLLSketch:
                 continue
             buf = np.sort(self.levels[i])
             if buf.size % 2 == 1:
-                # hold one item back so pairs halve exactly; keep the
-                # extreme on the side the offset would drop
+                # hold one item back so pairs halve exactly — the extreme
+                # on the side the offset is about to DROP (start=1 drops
+                # even indices incl. the min; start=0 drops the max), so
+                # odd-size compactions never lose a tail extreme
                 if self._odd[i]:
-                    keep, buf = buf[-1:], buf[:-1]
-                else:
                     keep, buf = buf[:1], buf[1:]
+                else:
+                    keep, buf = buf[-1:], buf[:-1]
             else:
                 keep = np.empty(0, dtype=np.float64)
             start = 1 if self._odd[i] else 0
@@ -86,6 +95,8 @@ class KLLSketch:
             if buf.size:
                 self.levels[i] = np.concatenate([self.levels[i], buf])
         self.n += other.n
+        self.min = min(self.min, other.min)
+        self.max = max(self.max, other.max)
         self._compress()
         return self
 
@@ -104,13 +115,22 @@ class KLLSketch:
         return v[order], w[order]
 
     def quantile(self, q: float) -> float:
-        v, w = self._weighted_items()
-        if v.size == 0:
-            return float("nan")
-        cum = np.cumsum(w)
-        target = q * cum[-1]
-        idx = int(np.searchsorted(cum, target, side="left"))
-        return float(v[min(idx, v.size - 1)])
+        return self.quantiles([q])[0]
 
     def quantiles(self, qs: list[float]) -> list[float]:
-        return [self.quantile(q) for q in qs]
+        # one concatenate/sort/cumsum for ALL requested quantiles
+        v, w = self._weighted_items()
+        if v.size == 0:
+            return [float("nan")] * len(qs)
+        cum = np.cumsum(w)
+        out = []
+        for q in qs:
+            if q <= 0.0:
+                out.append(self.min)
+                continue
+            if q >= 1.0:
+                out.append(self.max)
+                continue
+            idx = int(np.searchsorted(cum, q * cum[-1], side="left"))
+            out.append(float(v[min(idx, v.size - 1)]))
+        return out

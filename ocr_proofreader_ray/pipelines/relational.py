@@ -1050,7 +1050,10 @@ def q_value_quantiles_approx(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         types, payloads = [], []
-        for etype, grp in df.groupby("event_type", sort=True):
+        # dropna=False: a null event_type is a stratum (SQL GROUP BY keeps
+        # the NULL group), same contract as grouped_top_k
+        for etype, grp in df.groupby("event_type", sort=False, dropna=False):
+            etype = None if pd.isna(etype) else etype
             sk = KLLSketch(k=400)
             sk.add_batch(grp["value"].to_numpy())
             types.append(etype)
@@ -1071,7 +1074,7 @@ def q_value_quantiles_approx(sf_dir: str):
                 merged[etype] = sk
 
     out = {"event_type": [], "n_events": [], "p50": [], "p90": [], "p99": []}
-    for etype in sorted(merged):
+    for etype in sorted(merged, key=lambda v: (v is None, v or "")):
         sk = merged[etype]
         q50, q90, q99 = sk.quantiles([0.5, 0.9, 0.99])
         out["event_type"].append(etype)

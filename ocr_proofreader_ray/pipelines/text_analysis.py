@@ -390,8 +390,13 @@ def _per_lang_topk(partials: "ray.data.Dataset", key_col: str, k: int):
     if partials.count() <= _HH_DRIVER_MAX_ROWS:
         total = grouped_agg(partials, ["lang", key_col],
                             [("cnt", "sum", "cnt")])
+        # pc.equal(col, None) is an all-null mask that filter drops — the
+        # NULL language stratum needs is_null, like the Ray path's hash
+        # aggregation which keeps null keys (code-review r03)
         parts = [
-            topk_table(total.filter(pc.equal(total.column("lang"), lang)))
+            topk_table(total.filter(
+                pc.is_null(total.column("lang")) if lang is None
+                else pc.equal(total.column("lang"), lang)))
             for lang in pc.unique(total.column("lang")).to_pylist()
         ]
         return (pa.concat_tables(parts) if parts
@@ -399,11 +404,28 @@ def _per_lang_topk(partials: "ray.data.Dataset", key_col: str, k: int):
 
     from ray.data.aggregate import Sum
 
-    agg = partials.groupby(["lang", key_col]).aggregate(
-        Sum("cnt", alias_name="cnt"))
-    return agg.groupby("lang").map_groups(
-        lambda g: topk_table(g.select(["lang", key_col, "cnt"])),
-        batch_format="pyarrow")
+    # Ray's sort-based groupby cannot ORDER null string keys (searchsorted
+    # over None boundaries raises) — carry the NULL stratum through a
+    # sentinel that no real language tag can collide with, restore after
+    sentinel = "\x00<null-lang>"
+
+    def fill(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("lang")
+        return b.set_column(i, "lang",
+                            pc.fill_null(b.column("lang"), sentinel))
+
+    def topk_restore(g: pa.Table) -> pa.Table:
+        g = g.select(["lang", key_col, "cnt"])
+        i = g.schema.get_field_index("lang")
+        col = g.column("lang")
+        g = g.set_column(i, "lang", pc.if_else(
+            pc.equal(col, sentinel), pa.scalar(None, pa.string()), col))
+        return topk_table(g)
+
+    agg = (partials.map_batches(fill, batch_format="pyarrow",
+                                zero_copy_batch=True)
+           .groupby(["lang", key_col]).aggregate(Sum("cnt", alias_name="cnt")))
+    return agg.groupby("lang").map_groups(topk_restore, batch_format="pyarrow")
 
 
 @register(
@@ -441,7 +463,8 @@ def q_bigram_heavy_hitters(sf_dir: str, k: int = 10):
                 per_lang.setdefault(lang, Counter()).update(
                     f"{a} {b_}" for a, b_ in zip(toks, toks[1:]))
         langs, bgs, cnts = [], [], []
-        for lang in sorted(per_lang):
+        # None-safe sort: a null lang is a stratum, not a crash
+        for lang in sorted(per_lang, key=lambda v: (v is None, v or "")):
             c = per_lang[lang]
             for bg in sorted(c):
                 langs.append(lang)
@@ -681,9 +704,9 @@ def q_tfidf_top_terms(sf_dir: str):
     # broadcast the df table AS ARROW (code-review r03: a Python dict costs
     # ~10x the memory per worker and forces per-row lookups); each batch
     # joins against it with the Arrow C++ hash join and scores vectorized.
-    # Integer-exact while tf * 1e6 * n_docs < 2^63 — the same bound the SQL
-    # BIGINT oracle has, so both engines overflow (and would need a wider
-    # score unit) together.
+    # Integer-exact while tf * 1e6 * n_docs < 2^63; multiply_checked RAISES
+    # past that bound (matching DuckDB, whose BIGINT overflow also raises —
+    # an unchecked Arrow multiply would silently wrap to garbage scores).
     df_tab = grouped_agg(tf_ds, ["tok"], [(None, "count", "df")])
     df_ref = ray.put(df_tab.combine_chunks())
 
@@ -692,8 +715,8 @@ def q_tfidf_top_terms(sf_dir: str):
         tf = _doc_term_counts(b)
         joined = tf.join(dfs, keys=["tok"])
         score = pc.divide(
-            pc.multiply(joined.column("tf"),
-                        pa.scalar(1_000_000 * n_docs, pa.int64())),
+            pc.multiply_checked(joined.column("tf"),
+                                pa.scalar(1_000_000 * n_docs, pa.int64())),
             joined.column("df"))
         tab = pa.table({"doc_id": joined.column("doc_id"),
                         "top_term": joined.column("tok"),

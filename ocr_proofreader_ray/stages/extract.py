@@ -95,7 +95,9 @@ def tokenize_count_batch(batch: pa.Table) -> pa.Table:
         per_key.setdefault((cid, lang), Counter()).update(
             count_tokens(text or ""))
     out_cid, out_lang, out_tok, out_cnt = [], [], [], []
-    for cid, lang in sorted(per_key):
+    # None-safe key order: a null lang must not crash the sort
+    for cid, lang in sorted(per_key,
+                            key=lambda t: (t[0], t[1] is None, t[1] or "")):
         counter = per_key[(cid, lang)]
         for tok in sorted(counter):
             out_cid.append(cid)

@@ -72,3 +72,35 @@ def test_value_quantiles_query_vs_exact(ray_session):
             err = abs((vals <= row[key]).mean() - q)
             # small per-type n at sf0.001: generous absolute rank margin
             assert err <= 0.05, (row["event_type"], q, err)
+
+
+def test_kll_retains_extremes_through_odd_compactions():
+    """code-review r03: the odd-size hold-back must protect the extreme on
+    the side the offset drops — min and max survive heavy compaction."""
+    rng = np.random.RandomState(3)
+    values = rng.standard_normal(30_001)  # odd chunks force hold-backs
+    sk = KLLSketch(k=40)  # tiny k: many compactions
+    for chunk in np.array_split(values, 101):
+        sk.add_batch(chunk)
+    assert sk.quantile(0.0) == values.min()
+    assert sk.quantile(1.0) == values.max()
+
+
+def test_value_quantiles_keeps_null_event_type(ray_session, tmp_path):
+    """code-review r03: a null event_type is a stratum — it must appear in
+    the output with its exact count, not silently drop."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ocr_proofreader_ray.pipelines.relational import (
+        q_value_quantiles_approx,
+    )
+
+    tab = pa.table({
+        "event_type": pa.array(["a"] * 10 + [None] * 7, pa.string()),
+        "value": pa.array(np.arange(17, dtype=np.float64)),
+    })
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    out = q_value_quantiles_approx(str(tmp_path)).to_pylist()
+    by_type = {r["event_type"]: r["n_events"] for r in out}
+    assert by_type == {"a": 10, None: 7}

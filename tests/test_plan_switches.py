@@ -112,3 +112,31 @@ def test_user_sessions_partitions_derived_not_hardcoded(ray_session,
     repartitioned = _canon(rel.q_user_sessions(SF))
     pd.testing.assert_frame_equal(base, repartitioned, check_dtype=False,
                                   check_exact=True)
+
+
+def test_heavy_hitters_null_lang_stratum(ray_session, tmp_path, monkeypatch):
+    """code-review r03: a null lang row must neither crash the bigram
+    partial nor vanish from the driver-merge plan, and driver == forced-Ray
+    output must hold on such data."""
+    import pyarrow.parquet as pq
+
+    import ocr_proofreader_ray.pipelines.text_analysis as ta
+
+    tab = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "lang": pa.array(["en", None, "en"], pa.string()),
+        "text": pa.array(["a b a", "x y x y", "a b c"], pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([5, 7, 5], pa.int64()),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+
+    uni = _canon(ta.q_heavy_hitters(str(tmp_path)))
+    bg = _canon(ta.q_bigram_heavy_hitters(str(tmp_path)))
+    assert uni["lang"].isna().any()   # NULL stratum present
+    assert bg["lang"].isna().any()
+    monkeypatch.setattr(ta, "_HH_DRIVER_MAX_ROWS", 0)
+    pd.testing.assert_frame_equal(uni, _canon(ta.q_heavy_hitters(str(tmp_path))),
+                                  check_dtype=False, check_exact=True)
+    pd.testing.assert_frame_equal(bg, _canon(ta.q_bigram_heavy_hitters(str(tmp_path))),
+                                  check_dtype=False, check_exact=True)
