@@ -44,7 +44,10 @@ BENCH_QUERIES = [
     "q_dedup_simhash_hamming",
     "q_scrub_pii",
     "q_dedup_clusters",
-    # round-3 operators
+    # round-3 operators (the salted variant keeps the fact-fact EXCHANGE
+    # measured now that q_order_priority_revenue size-gates to broadcast
+    # at bench scale)
+    "q_order_priority_revenue_salted",
     "q_asof_latest_order",
     "q_tfidf_top_terms",
 ]

@@ -385,14 +385,17 @@ def q_nation_revenue(sf_dir: str):
     """,
 )
 def q_order_priority_revenue(sf_dir: str):
-    """Fact-fact shuffle hash join (B7 large-large path).
+    """Fact-fact join with a size-gated plan (B7).
 
-    One exchange total: both sides hash-partition on the order key and join
-    inside each partition.  (A pre-aggregate-lineitem-per-order variant was
-    measured 4x SLOWER — the extra Ray groupby is itself a full sort
-    shuffle, costing more than the 4x row reduction saves.  Pre-aggregation
-    before a shuffle pays off only when it replaces the shuffle, not when
-    it adds one.)"""
+    The projected orders side (key + priority) broadcasts while its
+    measured parquet size fits `_BROADCAST_MAX_BYTES` — cost-based, the
+    same gate as the customer joins; above it, ONE hash-partition exchange
+    joins both fact sides (that plan stays oracle-gated at every scale via
+    `q_order_priority_revenue_salted`, which always takes the exchange,
+    and pinned equal by the forced-path test).  (A
+    pre-aggregate-lineitem-per-order variant was measured 4x SLOWER — the
+    extra Ray groupby is itself a full sort shuffle; pre-aggregation pays
+    off only when it replaces the shuffle, not when it adds one.)"""
     li = t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(b: pa.Table) -> pa.Table:
@@ -402,9 +405,17 @@ def q_order_priority_revenue(sf_dir: str):
                          "rev_ucents": to_units(r, 10000)})
 
     li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
-    orders = t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = shuffle_join(li, orders, on=("l_orderkey",),
-                          right_on=("o_orderkey",))
+    if _table_bytes(sf_dir, "orders") <= _BROADCAST_MAX_BYTES:
+        import pyarrow.parquet as pq
+
+        orders_tab = pq.read_table(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderpriority"])
+        joined = broadcast_join(li, orders_tab, on="l_orderkey",
+                                right_on="o_orderkey")
+    else:
+        orders = t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        joined = shuffle_join(li, orders, on=("l_orderkey",),
+                              right_on=("o_orderkey",))
     return grouped_agg(joined, ["o_orderpriority"], [
         ("rev_ucents", "sum", "revenue_ucents"),
         (None, "count", "n_items"),

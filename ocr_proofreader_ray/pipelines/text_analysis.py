@@ -402,30 +402,44 @@ def _per_lang_topk(partials: "ray.data.Dataset", key_col: str, k: int):
         return (pa.concat_tables(parts) if parts
                 else total.schema.empty_table())
 
-    from ray.data.aggregate import Sum
+    # Big-vocabulary path: ONE integer-keyed hash exchange.  Ray's native
+    # sort-based groupby is avoided on purpose — its sampled string sort
+    # boundaries flakily split multi-byte UTF-8 (observed: "'utf-8' codec
+    # can't decode byte 0xc4" / "Wrapping � failed" on non-ASCII tokens)
+    # and cannot order null keys at all.  Hash-partitioning on
+    # hash(lang) co-locates every language's rows (the standard coarse
+    # co-group pattern here), then each partition aggregates and ranks its
+    # languages with Arrow group_by — null langs hash via a fill applied
+    # ONLY to the partition id, never the data.
+    import numpy as np
+    import polars as pl
+    import ray
 
-    # Ray's sort-based groupby cannot ORDER null string keys (searchsorted
-    # over None boundaries raises) — carry the NULL stratum through a
-    # sentinel that no real language tag can collide with, restore after
-    sentinel = "\x00<null-lang>"
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
-    def fill(b: pa.Table) -> pa.Table:
-        i = b.schema.get_field_index("lang")
-        return b.set_column(i, "lang",
-                            pc.fill_null(b.column("lang"), sentinel))
+    def add_part(b: pa.Table) -> pa.Table:
+        langs = pc.fill_null(b.column("lang"), "\x00<null>").combine_chunks()
+        h = pl.Series(langs).hash(seed=0).to_numpy()
+        return b.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int64)))
 
-    def topk_restore(g: pa.Table) -> pa.Table:
-        g = g.select(["lang", key_col, "cnt"])
-        i = g.schema.get_field_index("lang")
-        col = g.column("lang")
-        g = g.set_column(i, "lang", pc.if_else(
-            pc.equal(col, sentinel), pa.scalar(None, pa.string()), col))
-        return topk_table(g)
+    def part_topk(g: pa.Table) -> pa.Table:
+        agg = (g.drop_columns(["part"])
+               .group_by(["lang", key_col]).aggregate([("cnt", "sum")]))
+        agg = pa.table({"lang": agg.column("lang"),
+                        key_col: agg.column(key_col),
+                        "cnt": agg.column("cnt_sum")})
+        idx = pc.sort_indices(agg, sort_keys=[("lang", "ascending"),
+                                              ("cnt", "descending"),
+                                              (key_col, "ascending")])
+        df = agg.take(idx).to_pandas()
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False, dropna=False).head(k),
+            preserve_index=False, schema=agg.schema)
 
-    agg = (partials.map_batches(fill, batch_format="pyarrow",
-                                zero_copy_batch=True)
-           .groupby(["lang", key_col]).aggregate(Sum("cnt", alias_name="cnt")))
-    return agg.groupby("lang").map_groups(topk_restore, batch_format="pyarrow")
+    return (partials.map_batches(add_part, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby("part").map_groups(part_topk, batch_format="pyarrow"))
 
 
 @register(

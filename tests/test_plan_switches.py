@@ -41,14 +41,18 @@ def test_customer_join_shuffle_fallback_matches_broadcast(ray_session,
 
     nation_b = _canon(rel.q_nation_revenue(SF))
     rank_b = _canon(rel.q_rank_in_segment(SF))
+    prio_b = _canon(rel.q_order_priority_revenue(SF))
     monkeypatch.setattr(rel, "_BROADCAST_MAX_BYTES", 0)
     nation_s = _canon(rel.q_nation_revenue(SF))
     rank_s = _canon(rel.q_rank_in_segment(SF))
+    prio_s = _canon(rel.q_order_priority_revenue(SF))
     pd.testing.assert_frame_equal(nation_b, nation_s, check_dtype=False,
                                   check_exact=True)
     pd.testing.assert_frame_equal(rank_b, rank_s, check_dtype=False,
                                   check_exact=True)
-    assert len(nation_b) > 0 and len(rank_b) > 0
+    pd.testing.assert_frame_equal(prio_b, prio_s, check_dtype=False,
+                                  check_exact=True)
+    assert len(nation_b) > 0 and len(rank_b) > 0 and len(prio_b) > 0
 
 
 def test_salted_shuffle_join_matches_unsalted(ray_session):
