@@ -1100,3 +1100,212 @@ def q_value_quantiles_approx(sf_dir: str):
         "p90": pa.array(out["p90"], pa.float64()),
         "p99": pa.array(out["p99"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# B18 (round 3) — statistical aggregates, lead/lag windows, rollup
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_corr_qty_price",
+    sql="""
+    WITH p AS (
+        SELECT l_returnflag,
+               CAST(floor(l_quantity + 0.5) AS BIGINT)      AS ix,
+               CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS iy
+        FROM lineitem
+    ), s AS (
+        SELECT l_returnflag,
+               CAST(count(*)    AS BIGINT) AS n,
+               CAST(sum(ix)     AS BIGINT) AS sx,
+               CAST(sum(iy)     AS BIGINT) AS sy,
+               CAST(sum(ix*ix)  AS BIGINT) AS sxx,
+               CAST(sum(iy*iy)  AS BIGINT) AS syy,
+               CAST(sum(ix*iy)  AS BIGINT) AS sxy
+        FROM p GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS corr_qty_price,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS covar_pop
+    FROM s
+    """,
+)
+def q_corr_qty_price(sf_dir: str):
+    """Pearson correlation / population covariance per return flag (B18).
+
+    A correlation is a ratio of moment sums, so the distributed part is the
+    same exact-integer combiner as every money aggregate here: per-row
+    integer units, per-batch ``group_by`` partials, driver merge of <=3
+    group rows.  The float math happens ONCE on the final exact integers
+    with the identical IEEE expression the oracle uses — n*sxy - sx*sy over
+    doubles is correctly rounded the same way in both engines, so the hash
+    compare stays bit-exact (module header contract).  Operand bounds: iy
+    <= ~6e5 dollars, so sum(iy*iy) stays under 2^63 to ~sf10 and under
+    2^53 (exact double) at test scales; a 100-TB run would widen partials
+    to two-limb int64 pairs, the combiner shape is unchanged."""
+    ds = t(sf_dir, "lineitem", ["l_returnflag", "l_quantity",
+                                "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ix = to_units(b.column("l_quantity"), 1)
+        iy = to_units(b.column("l_extendedprice"), 1)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "ix": ix, "iy": iy,
+            "ixx": pc.multiply(ix, ix),
+            "iyy": pc.multiply(iy, iy),
+            "ixy": pc.multiply(ix, iy),
+        })
+
+    s = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag"], [
+            (None, "count", "n"),
+            ("ix", "sum", "sx"), ("iy", "sum", "sy"),
+            ("ixx", "sum", "sxx"), ("iyy", "sum", "syy"),
+            ("ixy", "sum", "sxy"),
+        ])
+    n = s.column("n").to_numpy().astype(np.float64)
+    sx = s.column("sx").to_numpy().astype(np.float64)
+    sy = s.column("sy").to_numpy().astype(np.float64)
+    sxx = s.column("sxx").to_numpy().astype(np.float64)
+    syy = s.column("syy").to_numpy().astype(np.float64)
+    sxy = s.column("sxy").to_numpy().astype(np.float64)
+    num = n * sxy - sx * sy
+    corr = num / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    covar = num / (n * n)
+    return pa.table({
+        "l_returnflag": s.column("l_returnflag"),
+        "n": s.column("n"),
+        "corr_qty_price": pa.array(corr, pa.float64()),
+        "covar_pop": pa.array(covar, pa.float64()),
+    })
+
+
+@register(
+    "q_lead_lag_orders",
+    sql="""
+    WITH c AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, cents,
+           cents - lag(cents) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+               AS delta_cents
+    FROM c
+    """,
+)
+def q_lead_lag_orders(sf_dir: str):
+    """Partitioned lead/lag window (B18): each order's price delta from the
+    same customer's previous order.
+
+    Same co-group plan as ``q_user_sessions``: ONE hash exchange on
+    hash(custkey) into byte-derived partitions, then a vectorized
+    sort + shift inside each partition — all rows of one customer land in
+    one partition, so the lag boundary mask is local.  The first order per
+    customer gets a null delta, matching SQL ``lag``."""
+    from ocr_proofreader_ray.ops.join import _derive_num_partitions
+
+    ds = t(sf_dir, "orders",
+           ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    n_parts = _derive_num_partitions(ds)
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "o_orderdate": b.column("o_orderdate"),
+            "cents": to_units(b.column("o_totalprice"), 100),
+            "part": pc.cast(imod(b.column("o_custkey"), n_parts), pa.int32()),
+        })
+
+    def lag_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        prev = g["cents"].shift()
+        same = g["o_custkey"].eq(g["o_custkey"].shift())
+        delta = (g["cents"] - prev).where(same)
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"],
+            "o_custkey": g["o_custkey"],
+            "cents": g["cents"],
+            "delta_cents": delta.astype("Int64"),
+        })
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("part").map_groups(lag_in_part, batch_format="pandas")
+
+
+@register(
+    "q_rollup_revenue",
+    sql="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_rollup_revenue(sf_dir: str):
+    """ROLLUP hierarchy aggregate (B18): (priority, status), (priority),
+    and grand-total strata in one result.
+
+    One distributed pass computes only the FINEST stratum via the combiner
+    engine; the coarser strata are re-aggregated from those few partial
+    rows on the driver (|priorities| x |statuses| rows at any corpus
+    scale) — rolling up partials instead of re-scanning is the whole point
+    of the operator, and integer cents keep every stratum hash-exact."""
+    orders = t(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "o_orderstatus": b.column("o_orderstatus"),
+            "cents": to_units(b.column("o_totalprice"), 100),
+        })
+
+    fine = grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderpriority", "o_orderstatus"], [
+            ("cents", "sum", "revenue_cents"),
+            (None, "count", "n_orders"),
+        ])
+
+    def roll(tab: pa.Table, keys: list[str]) -> pa.Table:
+        agg = tab.group_by(keys).aggregate(
+            [("revenue_cents", "sum"), ("n_orders", "sum")]) if keys else \
+            pa.table({
+                "revenue_cents_sum":
+                    [pc.sum(tab.column("revenue_cents")).as_py()],
+                "n_orders_sum": [pc.sum(tab.column("n_orders")).as_py()],
+            })
+        n = agg.num_rows
+        null_s = pa.nulls(n, pa.string())
+        return pa.table({
+            "o_orderpriority": (agg.column("o_orderpriority")
+                                if "o_orderpriority" in keys else null_s),
+            "o_orderstatus": (agg.column("o_orderstatus")
+                              if "o_orderstatus" in keys else null_s),
+            "revenue_cents": pc.cast(agg.column("revenue_cents_sum"),
+                                     pa.int64()),
+            "n_orders": pc.cast(agg.column("n_orders_sum"), pa.int64()),
+        })
+
+    full = fine.select(["o_orderpriority", "o_orderstatus",
+                        "revenue_cents", "n_orders"])
+    return pa.concat_tables([
+        full,
+        roll(fine, ["o_orderpriority"]),
+        roll(fine, []),
+    ])
