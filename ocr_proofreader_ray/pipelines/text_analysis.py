@@ -860,3 +860,108 @@ def q_contamination_screen(sf_dir: str):
                            zero_copy_batch=True)
     return grouped_agg(parts, ["probe_id", "probe"],
                        [("n_matched", "sum", "n_matched")])
+
+
+# ---------------------------------------------------------------------------
+# round 3 — training-mixture sampling + sequence packing
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_mixture_sample",
+    sql="""
+    SELECT doc_id, source FROM documents
+    WHERE doc_id % 1000 <
+          (CAST(substr(source, 4) AS BIGINT) * 37) % 900 + 50
+    """,
+)
+def q_mixture_sample(sf_dir: str):
+    """Deterministic training-mixture sampling: each source is downsampled
+    at its own rate (the way pretraining corpora re-weight web vs books vs
+    code), with membership decided by a systematic key rule — so the
+    sample is reproducible on any engine, any run, any cluster shape, and
+    a resumed job re-selects the identical rows.
+
+    Per-source permille rates derive from the source index; selection is
+    ``doc_id % 1000 < rate``.  Purely a vectorized filter over the scan —
+    no shuffle, no state, the cheapest possible mixture pass.  (A
+    real-weights variant would ship the rate table via ray.put and look it
+    up per batch — same shape.)"""
+    ds = t(sf_dir, "documents", ["doc_id", "source"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        # SQL substr(source, 4) is 1-based: codeunit offset 3
+        idx = pc.cast(pc.utf8_slice_codeunits(b.column("source"), 3, 32),
+                      pa.int64())
+        permille = pc.add(_pmod(pc.multiply(idx, 37), 900), 50)
+        keep = pc.less(_pmod(b.column("doc_id"), 1000), permille)
+        return b.filter(keep)
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pmod(col, m: int):
+    return pc.subtract(col, pc.multiply(pc.divide(col, m), m))
+
+
+@register("q_pack_sequences")  # stateful greedy packing: rows-only check
+def q_pack_sequences(sf_dir: str, budget: int = 256, group_docs: int = 512):
+    """Sequence packing: pack documents into fixed-token-budget training
+    rows (context-length packing), first-fit-decreasing per deterministic
+    doc-id range.
+
+    Packing is inherently order-dependent, so determinism at any
+    parallelism comes from packing WITHIN fixed doc_id ranges
+    (``doc_id // group_docs`` — the co-group hash pattern with contiguous
+    ranges): one exchange co-locates each range, FFD runs per range, and
+    pack ids are ``range_id * group_docs + bin``.  Whale docs over the
+    budget become single-doc packs with ``overflow=true`` (the
+    truncate-with-lineage analogue).  The per-range FFD loop is bounded by
+    ``group_docs`` rows regardless of corpus size — not a hot-path Python
+    loop over the corpus.  Output: one row per pack with fill stats
+    (determinism + coverage + budget invariants pinned by pytest)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = t(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        spaces = pc.subtract(
+            pc.utf8_length(text),
+            pc.utf8_length(pc.replace_substring(text, pattern=" ",
+                                                replacement="")))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "tokens": pc.add(spaces, pa.scalar(1, pa.int32())),
+            "grp": pc.divide(b.column("doc_id"), group_docs),
+        })
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("tokens", ascending=False, kind="mergesort")
+        toks = g["tokens"].to_numpy()
+        grp = int(g["grp"].iloc[0])
+        bins: list[int] = []  # remaining capacity per bin
+        assign = np.empty(len(toks), dtype=np.int64)
+        for i, tk in enumerate(toks):
+            for b_i, cap in enumerate(bins):
+                if tk <= cap:
+                    bins[b_i] = cap - tk
+                    assign[i] = b_i
+                    break
+            else:
+                assign[i] = len(bins)
+                bins.append(max(0, budget - int(tk)))
+        out = pd.DataFrame({"bin": assign, "tokens": toks})
+        agg = out.groupby("bin").agg(n_docs=("tokens", "size"),
+                                     total_tokens=("tokens", "sum"))
+        agg = agg.reset_index()
+        return pd.DataFrame({
+            "pack_id": grp * group_docs + agg["bin"],
+            "n_docs": agg["n_docs"].astype("int64"),
+            "total_tokens": agg["total_tokens"].astype("int64"),
+            "fill_frac": agg["total_tokens"] / float(budget),
+            "overflow": agg["total_tokens"] > budget,
+        })
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("grp").map_groups(pack, batch_format="pandas")

@@ -129,3 +129,44 @@ def test_heavy_hitters_approx_matches_exact_on_planted(ray_session, tmp_path):
         t.column(0).to_pylist(), t.column(1).to_pylist(),
         t.column(2).to_pylist())}
     assert to_set(approx) == to_set(exact)
+
+
+def test_pack_sequences_invariants(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ocr_proofreader_ray.pipelines.text_analysis import q_pack_sequences
+
+    sf = "/root/testdata/sf0.001"
+    budget = 256
+    packs = q_pack_sequences(sf, budget=budget).to_pandas()
+    n_docs_total = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+
+    # coverage: every document lands in exactly one pack
+    assert int(packs["n_docs"].sum()) == n_docs_total
+    # budget respected except single-doc whale packs (flagged)
+    over = packs[packs["overflow"]]
+    assert (over["n_docs"] == 1).all()
+    assert (packs.loc[~packs["overflow"], "total_tokens"] <= budget).all()
+    # pack ids unique; fill_frac consistent with totals
+    assert packs["pack_id"].is_unique
+    assert (packs["fill_frac"] * budget - packs["total_tokens"]).abs().max() < 1e-9
+
+    # determinism: a second run yields the identical table (packing happens
+    # within fixed doc_id ranges, independent of block boundaries)
+    packs2 = q_pack_sequences(sf, budget=budget).to_pandas()
+    key = ["pack_id"]
+    pd.testing.assert_frame_equal(
+        packs.sort_values(key).reset_index(drop=True),
+        packs2.sort_values(key).reset_index(drop=True))
+
+
+def test_mixture_sample_rates(ray_session):
+    from ocr_proofreader_ray.pipelines.text_analysis import q_mixture_sample
+
+    got = q_mixture_sample("/root/testdata/sf0.001").to_pandas()
+    assert len(got) > 0
+    # every source's selected permille stays under its rate bound
+    idx = got["source"].str[3:].astype(int)
+    rate = (idx * 37) % 900 + 50
+    assert ((got["doc_id"] % 1000) < rate).all()
