@@ -21,7 +21,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ocr_proofreader_ray.ops.agg import top_k
+from ocr_proofreader_ray.ops.agg import grouped_agg, top_k
 from ocr_proofreader_ray.pipelines.registry import register
 from ocr_proofreader_ray.pipelines.relational import t
 
@@ -263,3 +263,57 @@ def q_ann_lsh(sf_dir: str, k: int = 10):
                              zero_copy_batch=True)
     return top_k(scored, [("cos_micro", "descending"),
                           ("vec_id", "ascending")], k)
+
+
+@register(
+    "q_embedding_norm_stats",
+    sql="""
+    WITH v AS (
+        SELECT label,
+               CAST(list_sum(list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                         * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                AS BIGINT))) AS BIGINT) AS normsq_mu
+        FROM embeddings
+    )
+    SELECT label, count(*) AS n_vecs,
+           CAST(sum(normsq_mu) AS BIGINT) AS sum_normsq_mu,
+           min(normsq_mu) AS min_normsq_mu,
+           max(normsq_mu) AS max_normsq_mu
+    FROM v GROUP BY label
+    """,
+)
+def q_embedding_norm_stats(sf_dir: str):
+    """Per-label embedding-norm statistics (B15 with a value oracle —
+    ``q_ann_topk`` pins the float32 dot contract; this pins the
+    vector→grouped-aggregate path).
+
+    Each element is quantized to milliunits via floor(x*1000 + 0.5)
+    computed in float64 — both engines widen the float32 element to double
+    FIRST (``CAST(x AS DOUBLE)``), so the quantizer is the identical IEEE
+    expression and the squared-norm sums are exact integers.  One
+    vectorized numpy pass per batch; the grouped merge is the usual
+    combiner over |labels| rows."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        mat = _batch_matrix(b).astype(np.float64)
+        q = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+        nsq = (q * q).sum(axis=1)
+        return pa.table({
+            "label": b.column("label"),
+            "normsq_mu": pa.array(nsq, pa.int64()),
+        })
+
+    agg = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["label"], [
+            (None, "count", "n_vecs"),
+            ("normsq_mu", "sum", "sum_normsq_mu"),
+            ("normsq_mu", "min", "min_normsq_mu"),
+            ("normsq_mu", "max", "max_normsq_mu"),
+        ])
+    return agg
