@@ -937,7 +937,10 @@ def q_pack_sequences(sf_dir: str, budget: int = 256, group_docs: int = 512):
         })
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("tokens", ascending=False, kind="mergesort")
+        # doc_id tiebreak: within-group row order off Ray's groupby depends
+        # on block arrival order, so ties must break on a total order or
+        # FFD packs differently run-to-run
+        g = g.sort_values(["tokens", "doc_id"], ascending=[False, True])
         toks = g["tokens"].to_numpy()
         grp = int(g["grp"].iloc[0])
         bins: list[int] = []  # remaining capacity per bin
