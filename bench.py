@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "q_order_priority_revenue_salted",
     "q_asof_latest_order",
     "q_tfidf_top_terms",
+    "q_corr_qty_price",
+    "q_repetition_stats",
+    "q_contamination_screen",
+    "q_pack_sequences",
 ]
 
 

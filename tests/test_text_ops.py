@@ -170,3 +170,34 @@ def test_mixture_sample_rates(ray_session):
     idx = got["source"].str[3:].astype(int)
     rate = (idx * 37) % 900 + 50
     assert ((got["doc_id"] % 1000) < rate).all()
+
+
+def test_contamination_screen_finds_planted_probe(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ocr_proofreader_ray.pipelines.text_analysis import (
+        q_contamination_screen,
+    )
+
+    # doc 0 supplies the probe (chars 50:90); docs 40/41 are "contaminated"
+    # with that exact span mid-text, doc 42 is clean
+    base = " ".join(f"w{i}" for i in range(40))  # > 90 chars
+    probe = base[50:90]
+    texts = {0: base}
+    for i in range(1, 20):
+        texts[i] = f"filler {i:03d} " * 20  # unique even at probe offset
+    texts[40] = "prefix text " + probe + " suffix text"
+    texts[41] = probe * 2
+    texts[42] = "completely unrelated content with no overlap at all " * 3
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array([texts[i] for i in ids])}),
+        str(tmp_path / "documents.parquet"))
+
+    got = q_contamination_screen(str(tmp_path)).to_pandas()
+    hits = {r.probe_id: r.n_matched for r in got.itertuples()}
+    # probe 0 matches its source plus the two planted docs
+    assert hits[0] == 3
+    # every filler probe matches only itself
+    assert all(v == 1 for k, v in hits.items() if k != 0)
