@@ -1309,3 +1309,69 @@ def q_rollup_revenue(sf_dir: str):
         roll(fine, ["o_orderpriority"]),
         roll(fine, []),
     ])
+
+
+@register(
+    "q_cube_revenue",
+    sql="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_cube_revenue(sf_dir: str):
+    """CUBE aggregate (B18): all four strata of (priority, status).
+
+    Same plan as ``q_rollup_revenue`` — one distributed pass for the
+    finest stratum, every coarser stratum re-aggregated from those
+    group-count-bounded partials on the driver; CUBE just adds the
+    (NULL, status) marginal to the rollup's strata."""
+    orders = t(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "o_orderstatus": b.column("o_orderstatus"),
+            "cents": to_units(b.column("o_totalprice"), 100),
+        })
+
+    fine = grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderpriority", "o_orderstatus"], [
+            ("cents", "sum", "revenue_cents"),
+            (None, "count", "n_orders"),
+        ])
+
+    def roll(keys: list[str]) -> pa.Table:
+        if keys:
+            agg = fine.group_by(keys).aggregate(
+                [("revenue_cents", "sum"), ("n_orders", "sum")])
+        else:
+            agg = pa.table({
+                "revenue_cents_sum":
+                    [pc.sum(fine.column("revenue_cents")).as_py()],
+                "n_orders_sum": [pc.sum(fine.column("n_orders")).as_py()],
+            })
+        n = agg.num_rows
+        null_s = pa.nulls(n, pa.string())
+        return pa.table({
+            "o_orderpriority": (agg.column("o_orderpriority")
+                                if "o_orderpriority" in keys else null_s),
+            "o_orderstatus": (agg.column("o_orderstatus")
+                              if "o_orderstatus" in keys else null_s),
+            "revenue_cents": pc.cast(agg.column("revenue_cents_sum"),
+                                     pa.int64()),
+            "n_orders": pc.cast(agg.column("n_orders_sum"), pa.int64()),
+        })
+
+    return pa.concat_tables([
+        fine.select(["o_orderpriority", "o_orderstatus",
+                     "revenue_cents", "n_orders"]),
+        roll(["o_orderpriority"]),
+        roll(["o_orderstatus"]),
+        roll([]),
+    ])
