@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "q_repetition_stats",
     "q_contamination_screen",
     "q_pack_sequences",
+    "q_segment_dedup",
 ]
 
 

@@ -1008,3 +1008,114 @@ def q_dedup_keep(sf_dir: str):
         return docs
     return broadcast_semi_anti(docs, drop_ids.combine_chunks(),
                                on="doc_id", anti=True)
+
+
+# ---------------------------------------------------------------------------
+# Segment-level exact dedup (CCNet-style sub-document granularity)
+# ---------------------------------------------------------------------------
+
+_SEGMENT_TOKENS = 10
+
+
+@register(
+    "q_segment_dedup",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ts,
+               unnest(generate_series(
+                   0,
+                   CAST(ceil(len(ts) / {_SEGMENT_TOKENS}.0) AS BIGINT) - 1
+               )) AS s
+        FROM toks
+    ),
+    segs AS (
+        SELECT doc_id,
+               array_to_string(
+                   ts[s * {_SEGMENT_TOKENS} + 1
+                      : s * {_SEGMENT_TOKENS} + {_SEGMENT_TOKENS}],
+                   ' ') AS seg
+        FROM idx
+    ),
+    keeper AS (SELECT seg, min(doc_id) AS keep_doc FROM segs GROUP BY seg)
+    SELECT s.doc_id,
+           count(*) AS n_segments,
+           count(*) FILTER (WHERE s.doc_id = k.keep_doc) AS n_kept
+    FROM segs s JOIN keeper k ON s.seg = k.seg
+    GROUP BY s.doc_id
+    """,
+)
+def q_segment_dedup(sf_dir: str):
+    """Sub-document exact dedup at fixed token-window granularity — the
+    CCNet/C4-style pass that removes boilerplate repeated ACROSS documents
+    while keeping each segment's first (min-doc_id) occurrence.
+
+    Every document splits into consecutive ``_SEGMENT_TOKENS``-token
+    windows (last window partial); a window occurrence is KEPT iff its
+    doc_id equals the global min doc_id over identical windows.  Output
+    per document: total windows and kept windows.
+
+    Scale plan (100 TB): document text never shuffles — the explode stage
+    emits 128-bit blake2b segment keys as (h1, h2, doc_id) rows, collapsed
+    per batch (a doc of m identical windows ships one row with a count,
+    bounding template floods before the exchange).  ONE hash exchange on
+    h1 co-locates identical windows; the per-partition keep rule is a
+    vectorized groupby-transform min; per-doc partial counts then merge
+    through the combiner engine, so worker state is bounded by its hash
+    partition and the driver only sees per-doc aggregates.
+    """
+    from ocr_proofreader_ray.ops.join import _derive_num_partitions
+    from ocr_proofreader_ray.pipelines.relational import imod
+
+    ds = t(sf_dir, "documents", ["doc_id", "text"])
+    n_parts = _derive_num_partitions(ds)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        h1s: list[int] = []
+        h2s: list[int] = []
+        dids: list[int] = []
+        for did, txt in zip(ids, texts):
+            toks = txt.split(" ")
+            for s in range(0, len(toks), _SEGMENT_TOKENS):
+                d = hashlib.blake2b(
+                    " ".join(toks[s:s + _SEGMENT_TOKENS]).encode("utf-8"),
+                    digest_size=16).digest()
+                h1s.append(int.from_bytes(d[:8], "little", signed=True))
+                h2s.append(int.from_bytes(d[8:], "little", signed=True))
+                dids.append(did)
+        out = pa.table({
+            "h1": pa.array(h1s, pa.int64()),
+            "h2": pa.array(h2s, pa.int64()),
+            "doc_id": pa.array(dids, pa.int64()),
+        }).group_by(["h1", "h2", "doc_id"]).aggregate([([], "count_all")])
+        part = imod(pc.bit_wise_and(out.column("h1"), (1 << 62) - 1), n_parts)
+        return pa.table({
+            "h1": out.column("h1"),
+            "h2": out.column("h2"),
+            "doc_id": out.column("doc_id"),
+            "cnt": pc.cast(out.column("count_all"), pa.int64()),
+            "part": pc.cast(part, pa.int32()),
+        })
+
+    def keep_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        keep_doc = g.groupby(["h1", "h2"])["doc_id"].transform("min")
+        kept = g["cnt"].where(g["doc_id"].eq(keep_doc), 0)
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "n_segments": g["cnt"],
+            "n_kept": kept,
+        })
+        return out.groupby("doc_id", as_index=False).sum()
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    partials = exploded.groupby("part").map_groups(
+        keep_in_part, batch_format="pandas")
+    return grouped_agg(partials, ["doc_id"], [
+        ("n_segments", "sum", "n_segments"),
+        ("n_kept", "sum", "n_kept"),
+    ])

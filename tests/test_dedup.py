@@ -421,3 +421,27 @@ def test_cand_elements_bloom_path_identical(ray_session):
                         for r in out.to_pylist()})
     assert results[0] == results[1]
     assert any(p[:2] == (1, 4) for p in results[0])
+
+
+def test_segment_dedup_planted(ray_session, tmp_path):
+    """A doc identical to an earlier one keeps ZERO windows; a doc sharing
+    an aligned 10-token prefix loses exactly that window; unique docs keep
+    everything."""
+    import pyarrow.parquet as pq
+
+    from ocr_proofreader_ray.pipelines.dedup import q_segment_dedup
+
+    first = " ".join(f"w{i}" for i in range(25))          # 3 windows
+    prefix_share = " ".join(f"w{i}" for i in range(10)) + " " + \
+        " ".join(f"x{i}" for i in range(10))              # 2 windows, 1st shared
+    unique = " ".join(f"u{i}" for i in range(12))         # 2 windows
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [first, first, prefix_share, unique],
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+    }), str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: (r["n_segments"], r["n_kept"])
+           for r in q_segment_dedup(str(tmp_path)).to_pylist()}
+    assert got == {1: (3, 3), 2: (3, 0), 3: (2, 1), 4: (2, 2)}
