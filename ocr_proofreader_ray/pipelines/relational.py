@@ -1375,3 +1375,90 @@ def q_cube_revenue(sf_dir: str):
         roll(["o_orderstatus"]),
         roll([]),
     ])
+
+
+@register(
+    "q_running_revenue",
+    sql="""
+    WITH c AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, cents,
+           CAST(sum(cents) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS running_cents
+    FROM c
+    """,
+)
+def q_running_revenue(sf_dir: str):
+    """Cumulative window frame (B18): each order's running per-customer
+    revenue total in (date, key) order — SQL ``sum() OVER (... ROWS
+    UNBOUNDED PRECEDING)``.
+
+    Same single-exchange co-group plan as ``q_lead_lag_orders``: hash on
+    custkey into byte-derived partitions, then a vectorized sort +
+    groupby-cumsum inside each partition.  Integer cents keep every
+    running total hash-exact."""
+    from ocr_proofreader_ray.ops.join import _derive_num_partitions
+
+    ds = t(sf_dir, "orders",
+           ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    n_parts = _derive_num_partitions(ds)
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "o_orderdate": b.column("o_orderdate"),
+            "cents": to_units(b.column("o_totalprice"), 100),
+            "part": pc.cast(imod(b.column("o_custkey"), n_parts), pa.int32()),
+        })
+
+    def cumsum_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"],
+            "o_custkey": g["o_custkey"],
+            "cents": g["cents"],
+            "running_cents": g.groupby("o_custkey")["cents"].cumsum(),
+        })
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("part").map_groups(cumsum_in_part, batch_format="pandas")
+
+
+_MELT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "q_melt_lineitem",
+    sql=" UNION ALL ".join(
+        f"SELECT l_orderkey, l_linenumber, '{m}' AS measure, {m} AS value "
+        "FROM lineitem" for m in _MELT_MEASURES),
+)
+def q_melt_lineitem(sf_dir: str):
+    """UNPIVOT / melt reshape (B2): lineitem's four numeric measures to
+    long form (l_orderkey, l_linenumber, measure, value).
+
+    Pure per-batch reshape — no shuffle, no state; each Arrow batch emits
+    its four stacked sub-tables, so the operator streams at read
+    bandwidth and the output stays block-parallel at any corpus size."""
+    ds = t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"] + _MELT_MEASURES)
+
+    def melt(b: pa.Table) -> pa.Table:
+        parts = [
+            pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "l_linenumber": b.column("l_linenumber"),
+                "measure": pa.array([m] * b.num_rows, pa.string()),
+                "value": pc.cast(b.column(m), pa.float64()),
+            })
+            for m in _MELT_MEASURES
+        ]
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
