@@ -797,6 +797,24 @@ def q_repetition_stats(sf_dir: str):
     return ds.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _corpus_probes(sf_dir: str) -> list[tuple[int, str]]:
+    """Deterministic probe substrings from the lowest doc_ids — the
+    stand-in for a benchmark suite's n-gram probes.  Read ONCE on the
+    driver with the doc_id predicate pushed into the parquet scan
+    (constant-bounded rows at any corpus size)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    probe_tab = pq.ParquetDataset(
+        f"{sf_dir}/documents.parquet",
+        filters=pads.field("doc_id") < 20,
+    ).read(columns=["doc_id", "text"])
+    return [(int(i), txt[50:90])
+            for i, txt in zip(probe_tab.column("doc_id").to_pylist(),
+                              probe_tab.column("text").to_pylist())
+            if txt is not None and len(txt[50:90]) >= 10]
+
+
 @register(
     "q_contamination_screen",
     sql="""
@@ -826,19 +844,7 @@ def q_contamination_screen(sf_dir: str):
     millions of probe n-grams this flips to the winnowing/n-gram hash-join
     path (``q_fingerprint_winnow`` machinery); the substring scan is the
     right plan while probes x batch stays cache-resident."""
-    import pyarrow.parquet as pq
-
-    import pyarrow.dataset as pads
-
-    probe_tab = pq.ParquetDataset(
-        f"{sf_dir}/documents.parquet",
-        filters=pads.field("doc_id") < 20,
-    ).read(columns=["doc_id", "text"])
-    probes = [(int(i), txt[50:90])
-              for i, txt in zip(probe_tab.column("doc_id").to_pylist(),
-                                probe_tab.column("text").to_pylist())
-              if txt is not None and len(txt[50:90]) >= 10]
-
+    probes = _corpus_probes(sf_dir)
     ds = t(sf_dir, "documents", ["text"])
 
     def match(b: pa.Table) -> pa.Table:
@@ -860,6 +866,44 @@ def q_contamination_screen(sf_dir: str):
                            zero_copy_batch=True)
     return grouped_agg(parts, ["probe_id", "probe"],
                        [("n_matched", "sum", "n_matched")])
+
+
+@register(
+    "q_decontaminated_corpus",
+    sql="""
+    WITH probes AS (
+        SELECT substr(text, 51, 40) AS probe
+        FROM documents
+        WHERE doc_id < 20 AND length(substr(text, 51, 40)) >= 10
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM probes p WHERE contains(d.text, p.probe))
+    """,
+)
+def q_decontaminated_corpus(sf_dir: str):
+    """The decontaminated corpus itself — the artifact the screen above
+    informs: every document containing ANY probe substring is dropped
+    (including the probe's own source document, which by construction
+    contains it).
+
+    Scan-shaped like the screen: the constant-bounded probe set closes
+    over the batch fn, each batch ORs its vectorized ``match_substring``
+    hits into one drop mask and filters locally — no shuffle, streams at
+    read bandwidth, output stays block-parallel for the downstream
+    training-set write."""
+    probes = _corpus_probes(sf_dir)
+    ds = t(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        drop = pa.array([False] * b.num_rows, pa.bool_())
+        for _pid, probe in probes:
+            hit = pc.fill_null(pc.match_substring(text, probe), False)
+            drop = pc.or_(drop, hit)
+        return b.filter(pc.invert(drop)).select(["doc_id", "lang", "source"])
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
