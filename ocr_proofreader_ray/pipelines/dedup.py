@@ -1015,6 +1015,10 @@ def q_dedup_keep(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 _SEGMENT_TOKENS = 10
+# per-doc output rows at or under this merge on the driver (the oracle-gate
+# path); above it the final doc_id merge stays a Ray hash shuffle and the
+# query returns a Dataset — same switch as q_heavy_hitters/build_dictionary
+_SEG_DRIVER_MAX_DOCS = 20_000_000
 
 
 @register(
@@ -1065,10 +1069,19 @@ def q_segment_dedup(sf_dir: str):
     vectorized groupby-transform min; per-doc partial counts then merge
     through the combiner engine, so worker state is bounded by its hash
     partition and the driver only sees per-doc aggregates.
+
+    The per-doc result is itself corpus-sized, so the final doc_id merge
+    is size-switched on the parquet row count (no extra execution):
+    at or under ``_SEG_DRIVER_MAX_DOCS`` it merges on the driver and
+    returns a Table (the oracle-gate path); above, it stays a Ray hash
+    shuffle and returns a Dataset for a streaming downstream write.
     """
+    import pyarrow.parquet as _pq
+
     from ocr_proofreader_ray.ops.join import _derive_num_partitions
     from ocr_proofreader_ray.pipelines.relational import imod
 
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     ds = t(sf_dir, "documents", ["doc_id", "text"])
     n_parts = _derive_num_partitions(ds)
 
@@ -1118,4 +1131,4 @@ def q_segment_dedup(sf_dir: str):
     return grouped_agg(partials, ["doc_id"], [
         ("n_segments", "sum", "n_segments"),
         ("n_kept", "sum", "n_kept"),
-    ])
+    ], final="driver" if n_docs <= _SEG_DRIVER_MAX_DOCS else "ray")

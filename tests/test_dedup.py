@@ -445,3 +445,22 @@ def test_segment_dedup_planted(ray_session, tmp_path):
     got = {r["doc_id"]: (r["n_segments"], r["n_kept"])
            for r in q_segment_dedup(str(tmp_path)).to_pylist()}
     assert got == {1: (3, 3), 2: (3, 0), 3: (2, 1), 4: (2, 2)}
+
+
+def test_segment_dedup_ray_final_path(ray_session, monkeypatch):
+    """Forced-low threshold exercises the at-scale Ray-shuffle final: same
+    values as the driver merge, returned as a Dataset."""
+    from ocr_proofreader_ray.pipelines import dedup as dmod
+
+    sf = "/root/testdata/sf0.001"
+    driver = dmod.q_segment_dedup(sf).to_pandas()
+    monkeypatch.setattr(dmod, "_SEG_DRIVER_MAX_DOCS", 0)
+    ray_final = dmod.q_segment_dedup(sf)
+    assert hasattr(ray_final, "to_pandas") and not isinstance(
+        ray_final, pa.Table)
+    got = ray_final.to_pandas()
+    key = ["doc_id"]
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        driver.sort_values(key).reset_index(drop=True),
+        got[driver.columns].sort_values(key).reset_index(drop=True))
