@@ -145,25 +145,14 @@ def lsh_probe_masks(mat: np.ndarray, planes: np.ndarray,
 
 
 @register("q_ann_ivf")  # sketch-based: rows-only driver check
-def q_ann_ivf(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4):
-    """IVF (inverted-file) ANN: a coarse quantizer splits vectors into
-    cells; only the ``n_probe`` cells nearest the query are scored exactly.
-
-    Centroids come from a deterministic seeded Lloyd refinement over a
-    BOUNDED-COUNT hash sample (VERDICT r02 #3: a fixed-fraction sample is
-    corpus-proportional; this one targets ``_IVF_TRAIN_MAX`` rows at any
-    corpus size), trained once on the driver and broadcast — the classic
-    train-small/assign-everywhere IVF split, with cell assignment + scoring
-    fully vectorized inside ``map_batches``.
-    """
+def _train_centroids(sf_dir: str, n_cells: int) -> np.ndarray:
+    """Deterministic seeded Lloyd over a BOUNDED-COUNT hash sample
+    (VERDICT r02 #3: a fixed-fraction sample is corpus-proportional; this
+    targets ``_IVF_TRAIN_MAX`` rows at any corpus size): keep rows whose
+    multiplicative id-hash falls under a threshold derived from the
+    metadata-cheap row count, train once on the driver, broadcast."""
     from ocr_proofreader_ray.ops.agg import _arrow_blocks
 
-    q = _query_vector(sf_dir)
-
-    # --- train the coarse quantizer on a deterministic distributed sample:
-    # keep rows whose multiplicative id-hash falls under a threshold derived
-    # from the metadata-cheap row count, so ~_IVF_TRAIN_MAX rows reach the
-    # driver whether the corpus is 10^3 or 10^12 vectors.
     emb_all = t(sf_dir, "embeddings", ["vec_id", "embedding"])
     n_total = emb_all.count()  # parquet metadata, no column scan
     keep_prob = min(1.0, _IVF_TRAIN_MAX / max(1, n_total))
@@ -194,7 +183,22 @@ def q_ann_ivf(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4):
             members = sample[assign == c]
             if len(members):
                 centroids[c] = members.mean(axis=0)
+    return centroids
 
+
+def q_ann_ivf(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4):
+    """IVF (inverted-file) ANN: a coarse quantizer splits vectors into
+    cells; only the ``n_probe`` cells nearest the query are scored exactly.
+
+    Centroids come from a deterministic seeded Lloyd refinement over a
+    BOUNDED-COUNT hash sample (VERDICT r02 #3: a fixed-fraction sample is
+    corpus-proportional; this one targets ``_IVF_TRAIN_MAX`` rows at any
+    corpus size), trained once on the driver and broadcast — the classic
+    train-small/assign-everywhere IVF split, with cell assignment + scoring
+    fully vectorized inside ``map_batches``.
+    """
+    q = _query_vector(sf_dir)
+    centroids = _train_centroids(sf_dir, n_cells)
     qd = ((q.astype(np.float64) - centroids) ** 2).sum(axis=1)
     probe_cells = set(np.argsort(qd)[:n_probe].tolist())
 
@@ -223,6 +227,39 @@ def q_ann_ivf(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4):
                              zero_copy_batch=True)
     return top_k(scored, [("cos_micro", "descending"),
                           ("vec_id", "ascending")], k)
+
+
+@register("q_kmeans_labels")  # iterative algorithm: rows-only driver check
+def q_kmeans_labels(sf_dir: str, n_cells: int = 16):
+    """Distributed k-means cluster assignment over the embedding corpus —
+    the train-small / assign-everywhere split IVF uses, exposed as its own
+    operator (the standard corpus-bucketing step before per-cluster
+    sampling or pruning of training data).
+
+    The coarse codebook trains once on the driver from the count-bounded
+    hash sample (``_train_centroids``), broadcasts via ``ray.put``, and
+    every batch assigns its vectors with one vectorized distance matmul —
+    no shuffle at any corpus size; the per-vector (vec_id, cell) output
+    streams.  Deterministic: seeded init + fixed Lloyd iterations, so two
+    runs label identically (pinned by pytest)."""
+    centroids = _train_centroids(sf_dir, n_cells)
+    cent_ref = ray.put(centroids)
+    emb = t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        mat = _batch_matrix(b).astype(np.float64)
+        # argmin over squared L2 via the expansion trick: |x-c|^2 =
+        # |x|^2 - 2x.c + |c|^2 and |x|^2 is constant per row
+        scores = mat @ cents.T - 0.5 * (cents * cents).sum(axis=1)[None, :]
+        cell = scores.argmax(axis=1)
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "cell": pa.array(cell, pa.int32()),
+        })
+
+    return emb.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 @register("q_ann_lsh")  # sketch-based: rows-only driver check

@@ -112,3 +112,33 @@ def test_topk_deterministic_across_runs(ray_session):
     a = [(r["vec_id"], r["cos_micro"]) for r in q_ann_topk(SF).to_pylist()]
     b = [(r["vec_id"], r["cos_micro"]) for r in q_ann_topk(SF).to_pylist()]
     assert a == b
+
+
+def test_kmeans_labels(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_proofreader_ray.pipelines.similarity import (
+        _train_centroids,
+        q_kmeans_labels,
+    )
+
+    n_cells = 8
+    out = q_kmeans_labels(SF, n_cells=n_cells).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    assert len(out) == emb.num_rows
+    assert out["vec_id"].is_unique
+    assert out["cell"].between(0, n_cells - 1).all()
+
+    # every label is the true nearest centroid (naive L2 recomputation)
+    cents = _train_centroids(SF, n_cells)
+    mat = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
+    naive = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    by_id = dict(zip(emb.column("vec_id").to_pylist(), naive))
+    assert all(by_id[v] == c for v, c in zip(out["vec_id"], out["cell"]))
+
+    # determinism across runs
+    out2 = q_kmeans_labels(SF, n_cells=n_cells).to_pandas()
+    assert out.sort_values("vec_id").reset_index(drop=True).equals(
+        out2.sort_values("vec_id").reset_index(drop=True))
