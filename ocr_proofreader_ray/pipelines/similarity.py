@@ -144,7 +144,6 @@ def lsh_probe_masks(mat: np.ndarray, planes: np.ndarray,
     return sel
 
 
-@register("q_ann_ivf")  # sketch-based: rows-only driver check
 def _train_centroids(sf_dir: str, n_cells: int) -> np.ndarray:
     """Deterministic seeded Lloyd over a BOUNDED-COUNT hash sample
     (VERDICT r02 #3: a fixed-fraction sample is corpus-proportional; this
@@ -186,6 +185,7 @@ def _train_centroids(sf_dir: str, n_cells: int) -> np.ndarray:
     return centroids
 
 
+@register("q_ann_ivf")  # sketch-based: rows-only driver check
 def q_ann_ivf(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4):
     """IVF (inverted-file) ANN: a coarse quantizer splits vectors into
     cells; only the ``n_probe`` cells nearest the query are scored exactly.

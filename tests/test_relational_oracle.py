@@ -55,3 +55,14 @@ def test_query_matches_oracle(ray_session, con, name):
 
 def test_every_oracle_has_query():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_registry_names_match_functions():
+    """Each registered name must point at the function of the same name —
+    a ``@register`` decorator landing on the wrong def (e.g. a helper
+    inserted above the query during a refactor) silently swaps the
+    driver-contract callable; caught live in round 3 on q_ann_ivf."""
+    for name, fn in QUERIES.items():
+        assert fn.__name__ == name, (
+            f"registry entry {name!r} is bound to {fn.__name__!r}"
+        )
