@@ -1012,3 +1012,266 @@ def q_pack_sequences(sf_dir: str, budget: int = 256, group_docs: int = 512):
 
     ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     return ds.groupby("grp").map_groups(pack, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# round 3 — per-source quota capping (domain balancing)
+# ---------------------------------------------------------------------------
+
+_SOURCE_CAP = 10
+# docs at or under this parquet row count resolve the cap with the driver
+# survivor merge (grouped_top_k); above it the survivors take one hash
+# exchange on source instead (metadata-cheap switch, same pattern as
+# q_segment_dedup)
+_CAP_DRIVER_MAX_DOCS = 10_000_000
+
+
+@register(
+    "q_source_cap",
+    sql=f"""
+    SELECT doc_id, source, lang FROM (
+        SELECT doc_id, source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn <= {_SOURCE_CAP}
+    """,
+)
+def q_source_cap(sf_dir: str, cap: int = _SOURCE_CAP,
+                 force_shuffle: bool = False):
+    """Per-source quota capping (domain balancing): keep at most ``cap``
+    documents per source, deterministically the lowest doc_ids — the
+    standard guard against a single crawled domain dominating a training
+    mixture.
+
+    Scale plan: every block first keeps its LOCAL lowest-``cap`` rows per
+    source (vectorized sort + grouped head), so at most
+    ``n_blocks x sources_in_block x cap`` survivor id-rows exist after the
+    map stage — document text never enters the plan at all.  Below
+    ``_CAP_DRIVER_MAX_DOCS`` the survivors merge on the driver
+    (``grouped_top_k``); above it they take ONE hash exchange on source
+    and each partition finishes its own sources exactly.  Both paths are
+    exact and pinned equivalent by pytest."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    import polars as pl
+    import ray
+
+    from ocr_proofreader_ray.ops.agg import grouped_top_k
+
+    ds = t(sf_dir, "documents", ["doc_id", "source", "lang"])
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    if n_docs <= _CAP_DRIVER_MAX_DOCS and not force_shuffle:
+        out = grouped_top_k(ds, ["source"], [("doc_id", "ascending")], cap)
+        return out.select(["doc_id", "source", "lang"])
+
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def local_head(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[("doc_id", "ascending")])
+        df = b.take(idx).to_pandas()
+        out = pa.Table.from_pandas(
+            df.groupby("source", sort=False, dropna=False).head(cap),
+            preserve_index=False, schema=b.schema)
+        # hash-partition on source (polars hash: stable across processes,
+        # handles any string); null sources fill ONLY the partition key
+        src = pc.fill_null(out.column("source"), "\x00<null>").combine_chunks()
+        h = pl.Series(src).hash(seed=0).to_numpy()
+        return out.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int64)))
+
+    def part_head(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["part"])
+        idx = pc.sort_indices(g, sort_keys=[("source", "ascending"),
+                                            ("doc_id", "ascending")])
+        df = g.take(idx).to_pandas()
+        return pa.Table.from_pandas(
+            df.groupby("source", sort=False, dropna=False).head(cap),
+            preserve_index=False, schema=g.schema)
+
+    return (ds.map_batches(local_head, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("part").map_groups(part_head, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# round 3 — per-language typicality scoring + tercile bucketing (CCNet-style)
+# ---------------------------------------------------------------------------
+
+# vocabulary rows at or under this broadcast the (lang, tok) count table to
+# every scoring task; above it the occurrence rows shuffle-join the counts
+# instead (no corpus-proportional broadcast)
+_TYP_BROADCAST_MAX_VOCAB = 2_000_000
+
+
+@register(
+    "q_typicality_buckets",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), counts AS (
+        SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY lang, tok
+    ), scores AS (
+        SELECT t.doc_id, t.lang,
+               CAST(1000 * CAST(sum(c.cnt) AS BIGINT) // count(*)
+                    AS BIGINT) AS score_milli
+        FROM toks t JOIN counts c ON t.lang = c.lang AND t.tok = c.tok
+        GROUP BY t.doc_id, t.lang
+    ), ranked AS (
+        SELECT lang, score_milli,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY score_milli) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM scores
+    ), thr AS (
+        SELECT lang,
+               max(CASE WHEN 3 * rn <= n THEN score_milli END) AS t1,
+               max(CASE WHEN 3 * rn <= 2 * n THEN score_milli END) AS t2
+        FROM ranked GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.score_milli,
+           CAST(CASE WHEN s.score_milli <= thr.t1 THEN 0
+                     WHEN s.score_milli <= thr.t2 THEN 1
+                     ELSE 2 END AS BIGINT) AS tercile
+    FROM scores s JOIN thr ON s.lang = thr.lang
+    """,
+)
+def q_typicality_buckets(sf_dir: str, force_join: bool = False):
+    """CCNet-style per-language typicality bucketing: score every document
+    by how typical its tokens are of its language's corpus, then split each
+    language into exact terciles (0 = least typical / tail, 2 = most
+    typical) — the standard head/middle/tail quality partition of a crawl
+    before mixture weighting.
+
+    The score is an exact integer: ``score = 1000 * S // n_tok`` where S
+    sums, over every token OCCURRENCE in the doc, that token's total
+    occurrence count in the doc's language across the corpus (a unigram
+    corpus-frequency stand-in for LM perplexity — all-integer, so the
+    DuckDB oracle matches bit-for-bit; log-prob scoring would differ in
+    last-ulp float rounding between engines).
+
+    Two-pass plan, mirroring the extraction dictionary pattern:
+    pass 1 builds the (lang, tok) occurrence counts via per-batch Arrow
+    partials; at or under ``_TYP_BROADCAST_MAX_VOCAB`` partial rows the
+    merged table broadcasts via ``ray.put`` and pass 2 scores each batch
+    with a vectorized hash lookup — above it, pass 2 explodes (doc, tok)
+    occurrence rows and shuffle-joins the counts on (lang, tok) so nothing
+    vocabulary-sized is ever broadcast (both paths exact, pinned
+    equivalent by pytest).  Tercile thresholds are the floor(n/3)-th and
+    floor(2n/3)-th order statistics per language, computed from an exact
+    (lang, score) value histogram — bounded by distinct score values (at
+    most 1001 x langs after milli-quantization), never doc count — and
+    assignment is one more vectorized comparison pass."""
+    import numpy as np
+    import pandas as pd
+
+    ds = t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    partials = ds.map_batches(_explode_token_counts, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    if partials.count() <= _TYP_BROADCAST_MAX_VOCAB and not force_join:
+        counts = grouped_agg(partials, ["lang", "tok"],
+                             [("cnt", "sum", "cnt")])
+        # "lang\x00tok" keys: one flat C-hash dict lookup per occurrence
+        keys = pc.binary_join_element_wise(
+            counts.column("lang"), counts.column("tok"), "\x00")
+        lut = dict(zip(keys.to_pylist(), counts.column("cnt").to_pylist()))
+        lut_ref = ray.put(lut)
+
+        def score(b: pa.Table) -> pa.Table:
+            cl = ray.get(lut_ref)
+            text = pc.fill_null(b.column("text"), "")
+            toks = pc.split_pattern(text, pattern=" ")
+            lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+            flat = pc.list_flatten(toks)
+            row_idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+            langs = b.column("lang").take(pa.array(row_idx))
+            keys_ = pc.binary_join_element_wise(langs, flat, "\x00")
+            cnts = pd.Series(keys_.to_pylist()).map(cl).to_numpy(np.int64)
+            s = (pd.DataFrame({"r": row_idx, "c": cnts})
+                 .groupby("r", sort=True)["c"].sum()
+                 .reindex(np.arange(len(b)), fill_value=0).to_numpy())
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "score_milli": pa.array(
+                    1000 * s // np.maximum(lens.astype(np.int64), 1),
+                    pa.int64()),
+            })
+
+        scores = ds.map_batches(score, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    else:
+        counts_ds = grouped_agg(partials, ["lang", "tok"],
+                                [("cnt", "sum", "cnt")], final="ray")
+
+        def explode_occurrences(b: pa.Table) -> pa.Table:
+            text = pc.fill_null(b.column("text"), "")
+            toks = pc.split_pattern(text, pattern=" ")
+            lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+            flat = pc.list_flatten(toks)
+            row_idx = pa.array(np.repeat(np.arange(len(b), dtype=np.int64),
+                                         lens))
+            return pa.table({
+                "doc_id": b.column("doc_id").take(row_idx),
+                "lang": b.column("lang").take(row_idx),
+                "tok": flat,
+            })
+
+        from ocr_proofreader_ray.ops.join import shuffle_join
+
+        occ = ds.map_batches(explode_occurrences, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        joined = shuffle_join(occ, counts_ds, on=("lang", "tok"))
+        sums = grouped_agg(joined, ["doc_id", "lang"],
+                           [("cnt", "sum", "s"), (None, "count", "n")],
+                           final="ray")
+
+        def finish(b: pa.Table) -> pa.Table:
+            s = b.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+            n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "score_milli": pa.array(1000 * s // np.maximum(n, 1),
+                                        pa.int64()),
+            })
+
+        scores = sums.map_batches(finish, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+
+    # exact per-lang tercile thresholds from the (lang, score) histogram
+    hist = grouped_agg(scores, ["lang", "score_milli"],
+                       [(None, "count", "n")])
+    thr: dict[str, tuple[int | None, int | None]] = {}
+    hdf = hist.to_pandas().sort_values(["lang", "score_milli"])
+    for lang, g in hdf.groupby("lang", dropna=False, sort=False):
+        cum = g["n"].cumsum().to_numpy()
+        vals = g["score_milli"].to_numpy()
+        n = int(cum[-1])
+        k1, k2 = n // 3, (2 * n) // 3
+
+        def order_stat(k: int):
+            if k < 1:
+                return None
+            return int(vals[np.searchsorted(cum, k)])
+
+        thr[lang] = (order_stat(k1), order_stat(k2))
+    thr_ref = ray.put(thr)
+
+    def assign(b: pa.Table) -> pa.Table:
+        th = ray.get(thr_ref)
+        langs = b.column("lang").to_pylist()
+        sm = b.column("score_milli").to_numpy(zero_copy_only=False)
+        terc = np.full(len(b), 2, dtype=np.int64)
+        t1 = np.array([th[lg][0] if th[lg][0] is not None else -(1 << 62)
+                       for lg in langs], dtype=np.int64)
+        t2 = np.array([th[lg][1] if th[lg][1] is not None else -(1 << 62)
+                       for lg in langs], dtype=np.int64)
+        terc[sm <= t2] = 1
+        terc[sm <= t1] = 0
+        return b.append_column("tercile", pa.array(terc))
+
+    return scores.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -201,3 +201,54 @@ def test_contamination_screen_finds_planted_probe(ray_session, tmp_path):
     assert hits[0] == 3
     # every filler probe matches only itself
     assert all(v == 1 for k, v in hits.items() if k != 0)
+
+
+def test_source_cap_paths_equivalent(ray_session):
+    """Driver-merge and shuffle plans of q_source_cap must select the
+    identical capped corpus (both exact; also oracle-pinned in
+    test_relational_oracle.py)."""
+    import pandas as pd
+
+    from ocr_proofreader_ray.pipelines.text_analysis import q_source_cap
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(r):
+        df = r.to_pandas() if not isinstance(r, pd.DataFrame) else r
+        return df.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+    a = canon(q_source_cap(sf))
+    b = canon(q_source_cap(sf, force_shuffle=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # every source holds at most the cap, with the lowest doc_ids kept
+    sizes = a.groupby("source")["doc_id"].count()
+    assert (sizes <= 10).all()
+
+
+def test_typicality_broadcast_and_join_paths_equivalent(ray_session):
+    """The broadcast-dict and shuffle-join scoring plans of
+    q_typicality_buckets must produce identical per-doc scores and
+    terciles (both exact; oracle-pinned in test_relational_oracle.py)."""
+    import pandas as pd
+
+    from ocr_proofreader_ray.pipelines.text_analysis import (
+        q_typicality_buckets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(r):
+        df = r.to_pandas() if not isinstance(r, pd.DataFrame) else r
+        return df.sort_values(["doc_id"]).reset_index(drop=True)
+
+    a = canon(q_typicality_buckets(sf))
+    b = canon(q_typicality_buckets(sf, force_join=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # terciles split each language into near-equal thirds (exact order
+    # statistics: sizes differ by at most the tie mass at the cut)
+    for lang, g in a.groupby("lang"):
+        n = len(g)
+        counts = g["tercile"].value_counts()
+        assert set(counts.index) <= {0, 1, 2}
+        if n >= 3:
+            assert counts.get(0, 0) >= 1 and counts.get(2, 0) >= 1
