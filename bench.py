@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "q_contamination_screen",
     "q_pack_sequences",
     "q_segment_dedup",
+    "q_source_cap",
+    "q_typicality_buckets",
 ]
 
 
