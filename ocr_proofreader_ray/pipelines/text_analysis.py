@@ -1103,6 +1103,117 @@ def q_source_cap(sf_dir: str, cap: int = _SOURCE_CAP,
 # instead (no corpus-proportional broadcast)
 _TYP_BROADCAST_MAX_VOCAB = 2_000_000
 
+# scored docs at or under this resolve tercile thresholds from a driver
+# (lang, score) histogram gather — its size is bounded by DISTINCT scores,
+# which the doc count bounds but the milli-quantization alone does NOT
+# (scores are milli-units of average corpus count, which grows with the
+# corpus); above it the thresholds come from distributed bisection
+# selection: O(log score_range) counting passes over the materialized
+# scores with driver state of 2 x langs rows at any corpus size
+_TYP_HIST_MAX_DOCS = 5_000_000
+
+
+def _tercile_thresholds_hist(scores) -> dict:
+    """{lang: (t1, t2)} exact order statistics (floor(n/3)-th and
+    floor(2n/3)-th smallest score; None when the rank is 0) from a
+    driver-gathered exact (lang, score) value histogram."""
+    import numpy as np
+
+    hist = grouped_agg(scores, ["lang", "score_milli"],
+                       [(None, "count", "n")])
+    thr: dict = {}
+    hdf = hist.to_pandas().sort_values(["lang", "score_milli"])
+    for lang, g in hdf.groupby("lang", dropna=False, sort=False):
+        cum = g["n"].cumsum().to_numpy()
+        vals = g["score_milli"].to_numpy()
+        n = int(cum[-1])
+        k1, k2 = n // 3, (2 * n) // 3
+
+        def order_stat(k: int):
+            if k < 1:
+                return None
+            return int(vals[np.searchsorted(cum, k)])
+
+        thr[lang] = (order_stat(k1), order_stat(k2))
+    return thr
+
+
+def _tercile_thresholds_bisect(scores) -> dict:
+    """Same exact thresholds as the histogram path, but with driver state
+    bounded by 2 x langs at ANY corpus size: per-lang k-th order
+    statistics via distributed bisection — each round broadcasts one
+    candidate value per active (lang, rank) target, one combiner pass
+    counts scores at or under it per target, and the bracket halves.
+    ``ceil(log2(score_range))`` passes over the materialized score rows
+    replace the unbounded histogram gather (selection-by-counting, the
+    classic exact distributed quantile plan).  Pinned equal to the
+    histogram path by pytest (force_bisect)."""
+    import numpy as np
+    import pandas as pd
+
+    stats = grouped_agg(scores, ["lang"], [
+        (None, "count", "n"),
+        ("score_milli", "min", "lo"),
+        ("score_milli", "max", "hi"),
+    ])
+    # target state: (lang, j) -> [lo, hi, k] with the invariants
+    # count(score <= lo) < k and count(score <= hi) >= k; the answer is
+    # the unique v in (lo, hi] where the count first reaches k
+    st: dict = {}
+    thr: dict = {}
+    for lang, n, lo, hi in zip(stats.column("lang").to_pylist(),
+                               stats.column("n").to_pylist(),
+                               stats.column("lo").to_pylist(),
+                               stats.column("hi").to_pylist()):
+        thr[lang] = [None, None]
+        for j, k in enumerate((n // 3, (2 * n) // 3)):
+            if k >= 1:
+                st[(lang, j)] = [int(lo) - 1, int(hi), int(k)]
+
+    while True:
+        active = {key: s for key, s in st.items() if s[0] + 1 < s[1]}
+        if not active:
+            break
+        mids = {key: (s[0] + s[1]) // 2 for key, s in active.items()}
+        mid_ref = ray.put(mids)
+
+        def count_le(b: pa.Table) -> pa.Table:
+            m = ray.get(mid_ref)
+            lg = pd.Series(b.column("lang").to_pylist())
+            sm = pd.Series(
+                b.column("score_milli").to_numpy(zero_copy_only=False))
+            out = {"lang": [], "j": [], "c": []}
+            for (lang, j), mid in m.items():
+                # a None lang is a real stratum: == None matches nothing
+                # in pandas, so null keys need isna()
+                lmask = lg.isna() if lang is None else (lg == lang)
+                out["lang"].append(lang)
+                out["j"].append(j)
+                out["c"].append(int((lmask & (sm <= mid)).sum()))
+            return pa.table({"lang": pa.array(out["lang"], pa.string()),
+                             "j": pa.array(out["j"], pa.int32()),
+                             "c": pa.array(out["c"], pa.int64())})
+
+        counts = grouped_agg(
+            scores.map_batches(count_le, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["lang", "j"], [("c", "sum", "c")])
+        for lang, j, c in zip(counts.column("lang").to_pylist(),
+                              counts.column("j").to_pylist(),
+                              counts.column("c").to_pylist()):
+            s = st.get((lang, j))
+            if s is None or (lang, j) not in mids:
+                continue
+            mid = mids[(lang, j)]
+            if c >= s[2]:
+                s[1] = mid
+            else:
+                s[0] = mid
+
+    for (lang, j), s in st.items():
+        thr[lang][j] = s[1]
+    return {lang: tuple(v) for lang, v in thr.items()}
+
 
 @register(
     "q_typicality_buckets",
@@ -1137,7 +1248,8 @@ _TYP_BROADCAST_MAX_VOCAB = 2_000_000
     FROM scores s JOIN thr ON s.lang = thr.lang
     """,
 )
-def q_typicality_buckets(sf_dir: str, force_join: bool = False):
+def q_typicality_buckets(sf_dir: str, force_join: bool = False,
+                         force_bisect: bool = False):
     """CCNet-style per-language typicality bucketing: score every document
     by how typical its tokens are of its language's corpus, then split each
     language into exact terciles (0 = least typical / tail, 2 = most
@@ -1159,9 +1271,12 @@ def q_typicality_buckets(sf_dir: str, force_join: bool = False):
     occurrence rows and shuffle-joins the counts on (lang, tok) so nothing
     vocabulary-sized is ever broadcast (both paths exact, pinned
     equivalent by pytest).  Tercile thresholds are the floor(n/3)-th and
-    floor(2n/3)-th order statistics per language, computed from an exact
-    (lang, score) value histogram — bounded by distinct score values (at
-    most 1001 x langs after milli-quantization), never doc count — and
+    floor(2n/3)-th order statistics per language — size-switched: a driver
+    (lang, score) value-histogram gather at or under ``_TYP_HIST_MAX_DOCS``
+    scored docs, distributed bisection selection above it (O(log range)
+    counting passes, driver state 2 x langs at any corpus size; the
+    milli-quantization alone does NOT bound distinct scores, since the
+    score is an average corpus COUNT and grows with the corpus) — and
     assignment is one more vectorized comparison pass."""
     import numpy as np
     import pandas as pd
@@ -1241,23 +1356,12 @@ def q_typicality_buckets(sf_dir: str, force_join: bool = False):
         scores = sums.map_batches(finish, batch_format="pyarrow",
                                   zero_copy_batch=True).materialize()
 
-    # exact per-lang tercile thresholds from the (lang, score) histogram
-    hist = grouped_agg(scores, ["lang", "score_milli"],
-                       [(None, "count", "n")])
-    thr: dict[str, tuple[int | None, int | None]] = {}
-    hdf = hist.to_pandas().sort_values(["lang", "score_milli"])
-    for lang, g in hdf.groupby("lang", dropna=False, sort=False):
-        cum = g["n"].cumsum().to_numpy()
-        vals = g["score_milli"].to_numpy()
-        n = int(cum[-1])
-        k1, k2 = n // 3, (2 * n) // 3
-
-        def order_stat(k: int):
-            if k < 1:
-                return None
-            return int(vals[np.searchsorted(cum, k)])
-
-        thr[lang] = (order_stat(k1), order_stat(k2))
+    # exact per-lang tercile thresholds: histogram gather below the doc
+    # bound, distributed bisection selection above it (both exact)
+    if scores.count() <= _TYP_HIST_MAX_DOCS and not force_bisect:
+        thr = _tercile_thresholds_hist(scores)
+    else:
+        thr = _tercile_thresholds_bisect(scores)
     thr_ref = ray.put(thr)
 
     def assign(b: pa.Table) -> pa.Table:

@@ -244,6 +244,10 @@ def test_typicality_broadcast_and_join_paths_equivalent(ray_session):
     a = canon(q_typicality_buckets(sf))
     b = canon(q_typicality_buckets(sf, force_join=True))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # distributed bisection selection must find the identical thresholds
+    # (and so identical terciles) as the histogram gather
+    c = canon(q_typicality_buckets(sf, force_bisect=True))
+    pd.testing.assert_frame_equal(a, c, check_dtype=False)
     # terciles split each language into near-equal thirds (exact order
     # statistics: sizes differ by at most the tie mass at the cut)
     for lang, g in a.groupby("lang"):
