@@ -82,6 +82,82 @@ def broadcast_semi_anti(
     return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def shuffle_semi_anti(
+    ds: "ray.data.Dataset",
+    keys_ds: "ray.data.Dataset",
+    on: str,
+    keys_on: str | None = None,
+    anti: bool = False,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Exact semi/anti join for a FACT-SIZED key side (VERDICT r02 #7
+    class: ``broadcast_semi_anti`` gathers the key column to the driver
+    and broadcasts the exact set — corpus-proportional on both counts).
+
+    Both sides hash-partition on the key in one exchange — the same
+    tag + union + groupby(part) plan as ``shuffle_join`` — and each
+    partition filters its data rows with an Arrow ``is_in`` against its
+    own key rows, so no worker holds more than its hash partition of keys
+    and nothing key-side ever touches the driver.  Key rows dedup per
+    batch before shuffling (is_in only needs membership), bounding the
+    exchange at distinct-keys x blocks.  Null-key semantics match
+    ``broadcast_semi_anti`` exactly (is_in: a null probe never matches;
+    anti inverts), pinned by the plan-switch equivalence test."""
+    keys_on = keys_on or on
+    if num_partitions is None:
+        num_partitions = _derive_num_partitions(ds, keys_ds)
+    reserved = {"__part", "__side"} & set(ds.schema().names)
+    if reserved:
+        raise ValueError(
+            f"shuffle_semi_anti: input carries reserved column(s) "
+            f"{reserved} — rename upstream")
+    data_schema = dict(zip(ds.schema().names, ds.schema().types))
+    key_type = dict(zip(keys_ds.schema().names,
+                        keys_ds.schema().types))[keys_on]
+    all_cols = list(data_schema) + ["__key", "__part", "__side"]
+
+    def tag_data(b: pa.Table) -> pa.Table:
+        b = b.append_column("__key", pa.nulls(b.num_rows, key_type))
+        b = b.append_column("__part",
+                            _partition_hash(b.column(on), num_partitions))
+        b = b.append_column("__side",
+                            pa.array([0] * b.num_rows, pa.int8()))
+        return b.select(all_cols)
+
+    def tag_keys(b: pa.Table) -> pa.Table:
+        col = b.column(keys_on)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.unique(col)
+        out = pa.table({"__key": col})
+        for name, typ in data_schema.items():
+            out = out.append_column(name, pa.nulls(len(col), typ))
+        out = out.append_column("__part",
+                                _partition_hash(col, num_partitions))
+        out = out.append_column("__side",
+                                pa.array([1] * len(col), pa.int8()))
+        return out.select(all_cols)
+
+    dt = ds.map_batches(tag_data, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    kt = keys_ds.map_batches(tag_keys, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def filter_partition(group: pa.Table) -> pa.Table:
+        dmask = pc.equal(group.column("__side"), pa.scalar(0, pa.int8()))
+        data = group.filter(dmask).select(list(data_schema))
+        keys = group.filter(pc.invert(dmask)).column("__key")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        mask = pc.is_in(data.column(on), value_set=pc.unique(keys))
+        if anti:
+            mask = pc.invert(mask)
+        return data.filter(mask).combine_chunks()
+
+    return dt.union(kt).groupby("__part").map_groups(
+        filter_partition, batch_format="pyarrow")
+
+
 def _partition_hash(col: pa.ChunkedArray | pa.Array, num_partitions: int) -> pa.Array:
     """Deterministic vectorized partition id for a key column.
 

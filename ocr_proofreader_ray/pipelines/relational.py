@@ -32,6 +32,7 @@ from ocr_proofreader_ray.ops.join import (
     broadcast_join,
     broadcast_semi_anti,
     shuffle_join,
+    shuffle_semi_anti,
 )
 from ocr_proofreader_ray.pipelines.registry import register
 
@@ -530,7 +531,11 @@ def _order_custkeys(sf_dir: str) -> pa.ChunkedArray:
 )
 def q_customers_with_orders(sf_dir: str):
     ds = t(sf_dir, "customer", ["c_custkey", "c_name"])
-    return broadcast_semi_anti(ds, _order_custkeys(sf_dir), on="c_custkey")
+    if _table_bytes(sf_dir, "orders") <= _BROADCAST_MAX_BYTES:
+        return broadcast_semi_anti(ds, _order_custkeys(sf_dir), on="c_custkey")
+    # fact-sized key side: hash-partition both sides, no driver key gather
+    keys = t(sf_dir, "orders", ["o_custkey"])
+    return shuffle_semi_anti(ds, keys, on="c_custkey", keys_on="o_custkey")
 
 
 @register(
@@ -547,14 +552,22 @@ def q_customers_without_orders(sf_dir: str):
     the result non-empty at every sf — every customer has *some* order)."""
     import pyarrow.parquet as pq
 
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_custkey", "o_orderdate"])
-    orders = orders.filter(pc.less(
-        orders.column("o_orderdate"),
-        pa.scalar(datetime(1996, 1, 1), pa.timestamp("us"))))
     ds = t(sf_dir, "customer", ["c_custkey", "c_name"])
-    return broadcast_semi_anti(ds, orders.column("o_custkey"), on="c_custkey",
-                               anti=True)
+    cut = pa.scalar(datetime(1996, 1, 1), pa.timestamp("us"))
+    if _table_bytes(sf_dir, "orders") <= _BROADCAST_MAX_BYTES:
+        orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderdate"])
+        orders = orders.filter(pc.less(orders.column("o_orderdate"), cut))
+        return broadcast_semi_anti(ds, orders.column("o_custkey"),
+                                   on="c_custkey", anti=True)
+    # fact-sized key side: the date filter streams, then both sides
+    # hash-partition — anti stays EXACT (a Bloom would wrongly drop on FPs)
+    keys = t(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), cut))
+                   .select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return shuffle_semi_anti(ds, keys, on="c_custkey", keys_on="o_custkey",
+                             anti=True)
 
 
 # ---------------------------------------------------------------------------
@@ -619,6 +632,16 @@ def q_union_segments(sf_dir: str):
     return a.union(b)
 
 
+def _building_custkeys(sf_dir: str) -> "ray.data.Dataset":
+    """BUILDING-segment custkeys as a streaming Dataset (the at-scale key
+    side of the set-op semi/anti joins — never gathered to the driver)."""
+    return t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("c_mktsegment"), "BUILDING")
+        ).select(["c_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 @register(
     "q_intersect_custkeys",
     sql="""
@@ -628,17 +651,23 @@ def q_union_segments(sf_dir: str):
     """,
 )
 def q_intersect_custkeys(sf_dir: str):
-    """INTERSECT via distinct + broadcast semi join (small side broadcast)."""
+    """INTERSECT via distinct + semi join — broadcast key set while the
+    customer parquet fits the budget, hash-partition exchange
+    (``shuffle_semi_anti``) above it."""
     import pyarrow.parquet as pq
 
     ds = t(sf_dir, "orders", ["o_custkey"])
     distinct = ds.groupby("o_custkey").count().select_columns(["o_custkey"])
-    building = pq.read_table(f"{sf_dir}/customer.parquet",
-                             columns=["c_custkey", "c_mktsegment"])
-    building = building.filter(
-        pc.equal(building.column("c_mktsegment"), "BUILDING")
-    ).column("c_custkey")
-    out = broadcast_semi_anti(distinct, building, on="o_custkey")
+    if _table_bytes(sf_dir, "customer") <= _BROADCAST_MAX_BYTES:
+        building = pq.read_table(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+        building = building.filter(
+            pc.equal(building.column("c_mktsegment"), "BUILDING")
+        ).column("c_custkey")
+        out = broadcast_semi_anti(distinct, building, on="o_custkey")
+    else:
+        out = shuffle_semi_anti(distinct, _building_custkeys(sf_dir),
+                                on="o_custkey", keys_on="c_custkey")
     return out.map_batches(
         lambda b: b.rename_columns(["custkey"]),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -658,12 +687,18 @@ def q_except_custkeys(sf_dir: str):
 
     ds = t(sf_dir, "orders", ["o_custkey"])
     distinct = ds.groupby("o_custkey").count().select_columns(["o_custkey"])
-    building = pq.read_table(f"{sf_dir}/customer.parquet",
-                             columns=["c_custkey", "c_mktsegment"])
-    building = building.filter(
-        pc.equal(building.column("c_mktsegment"), "BUILDING")
-    ).column("c_custkey")
-    out = broadcast_semi_anti(distinct, building, on="o_custkey", anti=True)
+    if _table_bytes(sf_dir, "customer") <= _BROADCAST_MAX_BYTES:
+        building = pq.read_table(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+        building = building.filter(
+            pc.equal(building.column("c_mktsegment"), "BUILDING")
+        ).column("c_custkey")
+        out = broadcast_semi_anti(distinct, building, on="o_custkey",
+                                  anti=True)
+    else:
+        out = shuffle_semi_anti(distinct, _building_custkeys(sf_dir),
+                                on="o_custkey", keys_on="c_custkey",
+                                anti=True)
     return out.map_batches(
         lambda b: b.rename_columns(["custkey"]),
         batch_format="pyarrow", zero_copy_batch=True,

@@ -144,3 +144,26 @@ def test_heavy_hitters_null_lang_stratum(ray_session, tmp_path, monkeypatch):
                                   check_dtype=False, check_exact=True)
     pd.testing.assert_frame_equal(bg, _canon(ta.q_bigram_heavy_hitters(str(tmp_path))),
                                   check_dtype=False, check_exact=True)
+
+
+def test_semi_anti_shuffle_fallback_matches_broadcast(ray_session,
+                                                      monkeypatch):
+    """shuffle_semi_anti (the fact-sized-key-side plan: both sides
+    hash-partition, per-partition is_in) must select exactly the rows the
+    broadcast key-set plan selects, for all four gated queries."""
+    import ocr_proofreader_ray.pipelines.relational as rel
+
+    with_b = _canon(rel.q_customers_with_orders(SF))
+    without_b = _canon(rel.q_customers_without_orders(SF))
+    inter_b = _canon(rel.q_intersect_custkeys(SF))
+    exc_b = _canon(rel.q_except_custkeys(SF))
+    monkeypatch.setattr(rel, "_BROADCAST_MAX_BYTES", 0)
+    with_s = _canon(rel.q_customers_with_orders(SF))
+    without_s = _canon(rel.q_customers_without_orders(SF))
+    inter_s = _canon(rel.q_intersect_custkeys(SF))
+    exc_s = _canon(rel.q_except_custkeys(SF))
+    for b, s in [(with_b, with_s), (without_b, without_s),
+                 (inter_b, inter_s), (exc_b, exc_s)]:
+        pd.testing.assert_frame_equal(b, s, check_dtype=False,
+                                      check_exact=True)
+        assert len(b) > 0
