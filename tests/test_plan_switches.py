@@ -167,3 +167,32 @@ def test_semi_anti_shuffle_fallback_matches_broadcast(ray_session,
         pd.testing.assert_frame_equal(b, s, check_dtype=False,
                                       check_exact=True)
         assert len(b) > 0
+
+
+def test_shuffle_semi_anti_null_and_string_keys(ray_session):
+    """Direct op equivalence on awkward inputs: string keys, null probe
+    keys, null key-side rows, duplicate keys on both sides."""
+    import ray.data
+
+    from ocr_proofreader_ray.ops.join import (
+        broadcast_semi_anti,
+        shuffle_semi_anti,
+    )
+
+    data = pa.table({
+        "k": pa.array(["a", "b", None, "c", "a", "d"]),
+        "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+    })
+    keys = pa.table({
+        "kk": pa.array(["a", "c", "c", None, "zz"]),
+    })
+    ds = ray.data.from_arrow(data).repartition(3)
+    kds = ray.data.from_arrow(keys).repartition(2)
+    for anti in (False, True):
+        want = _canon(broadcast_semi_anti(
+            ray.data.from_arrow(data), keys.column("kk").combine_chunks(),
+            on="k", anti=anti))
+        got = _canon(shuffle_semi_anti(ds, kds, on="k", keys_on="kk",
+                                       anti=anti, num_partitions=4))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
