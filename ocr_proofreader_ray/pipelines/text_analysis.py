@@ -1338,7 +1338,10 @@ def q_typicality_buckets(sf_dir: str, force_join: bool = False,
 
         occ = ds.map_batches(explode_occurrences, batch_format="pyarrow",
                              zero_copy_batch=True)
-        joined = shuffle_join(occ, counts_ds, on=("lang", "tok"))
+        # key order matters: shuffle_join partitions on the FIRST key, and
+        # tok is the high-cardinality one — (lang, tok) would co-locate an
+        # entire language's occurrences in one partition group
+        joined = shuffle_join(occ, counts_ds, on=("tok", "lang"))
         sums = grouped_agg(joined, ["doc_id", "lang"],
                            [("cnt", "sum", "s"), (None, "count", "n")],
                            final="ray")
