@@ -1,0 +1,142 @@
+"""Exact distributed k-th order statistics per group.
+
+``grouped_kth_smallest`` answers "the k-th smallest value of this column
+within each group" EXACTLY at any corpus size, with a two-plan size switch:
+
+- **driver gather** (small inputs): pull only the (group, value) pair
+  columns to the driver and ``np.sort`` per group.  Chosen while the row
+  count stays under ``max_driver_rows``.
+- **distributed bisection** (the scale path): selection-by-counting — each
+  round broadcasts one candidate value per unfinished (group, rank) target,
+  a combiner pass counts values at or under the candidate per target, and
+  the bracket halves.  ``ceil(log2(value_range))`` cheap counting passes
+  replace any corpus-sized gather; driver state is O(groups x ranks) at any
+  input size.  This is the classic exact distributed quantile/selection
+  plan (same shape as ``text_analysis._tercile_thresholds_bisect``, here
+  generic over group column, value column and arbitrary rank lists).
+
+Values must be int64 (callers quantize floats to exact integer units first
+— the repo-wide float-determinism contract).  Ranks are 1-based.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ocr_proofreader_ray.ops.agg import grouped_agg
+
+# rows at or under this gather the (group, value) pairs to the driver
+# (16 bytes/row -> ~80 MB at the gate); above it the bisection path keeps
+# driver state corpus-independent
+_DRIVER_SELECT_MAX_ROWS = 5_000_000
+
+
+def grouped_kth_smallest(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    ranks: dict,
+    max_driver_rows: int = _DRIVER_SELECT_MAX_ROWS,
+    force_bisect: bool = False,
+) -> dict:
+    """{group: [k-th smallest value_col for k in ranks[group]]}, exact.
+
+    ``ranks[g]`` is a list of 1-based ranks (1 = minimum).  Ranks outside
+    [1, n_g] yield None.  ``ds`` should already be projected to the two
+    columns; it is materialized here because the bisection path runs
+    multiple counting passes over it.
+    """
+    ds = ds.select_columns([group_col, value_col]).materialize()
+    total = ds.count()
+    if not force_bisect and total <= max_driver_rows:
+        return _kth_driver(ds, group_col, value_col, ranks)
+    return _kth_bisect(ds, group_col, value_col, ranks)
+
+
+def _kth_driver(ds, group_col: str, value_col: str, ranks: dict) -> dict:
+    from ocr_proofreader_ray.ops.agg import _arrow_blocks
+
+    tables = _arrow_blocks(ds)
+    out = {g: [None] * len(ks) for g, ks in ranks.items()}
+    if not tables:
+        return out
+    t = pa.concat_tables(tables, promote_options="default")
+    df = pd.DataFrame({
+        "g": t.column(group_col).to_pandas(),
+        "v": t.column(value_col).to_numpy(zero_copy_only=False),
+    })
+    for g, sub in df.groupby("g", dropna=False, sort=False):
+        key = None if (isinstance(g, float) and np.isnan(g)) else g
+        ks = ranks.get(key)
+        if ks is None:
+            continue
+        v = np.sort(sub["v"].to_numpy())
+        out[key] = [int(v[k - 1]) if 1 <= k <= len(v) else None for k in ks]
+    return out
+
+
+def _kth_bisect(ds, group_col: str, value_col: str, ranks: dict) -> dict:
+    stats = grouped_agg(ds, [group_col], [
+        (None, "count", "n"),
+        (value_col, "min", "lo"),
+        (value_col, "max", "hi"),
+    ])
+    # (group, j) -> [lo, hi, k] with count(v <= lo) < k <= count(v <= hi);
+    # converges to the unique v in (lo, hi] where the count reaches k
+    st: dict = {}
+    out = {g: [None] * len(ks) for g, ks in ranks.items()}
+    for g, n, lo, hi in zip(stats.column(group_col).to_pylist(),
+                            stats.column("n").to_pylist(),
+                            stats.column("lo").to_pylist(),
+                            stats.column("hi").to_pylist()):
+        ks = ranks.get(g)
+        if ks is None:
+            continue
+        for j, k in enumerate(ks):
+            if 1 <= k <= n:
+                st[(g, j)] = [int(lo) - 1, int(hi), int(k)]
+
+    while True:
+        active = {key: s for key, s in st.items() if s[0] + 1 < s[1]}
+        if not active:
+            break
+        mids = {key: (s[0] + s[1]) // 2 for key, s in active.items()}
+        mid_ref = ray.put(mids)
+
+        def count_le(b: pa.Table) -> pa.Table:
+            m = ray.get(mid_ref)
+            gs = pd.Series(b.column(group_col).to_pandas())
+            vs = pd.Series(b.column(value_col).to_numpy(zero_copy_only=False))
+            rows = {"g": [], "j": [], "c": []}
+            for (g, j), mid in m.items():
+                gmask = gs.isna() if g is None else (gs == g)
+                rows["g"].append(g)
+                rows["j"].append(j)
+                rows["c"].append(int((gmask & (vs <= mid)).sum()))
+            return pa.table({
+                "g": pa.array(rows["g"]),
+                "j": pa.array(rows["j"], pa.int32()),
+                "c": pa.array(rows["c"], pa.int64()),
+            })
+
+        counts = grouped_agg(
+            ds.map_batches(count_le, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["g", "j"], [("c", "sum", "c")])
+        for g, j, c in zip(counts.column("g").to_pylist(),
+                           counts.column("j").to_pylist(),
+                           counts.column("c").to_pylist()):
+            s = st.get((g, j))
+            if s is None or (g, j) not in mids:
+                continue
+            if c >= s[2]:
+                s[1] = mids[(g, j)]
+            else:
+                s[0] = mids[(g, j)]
+
+    for (g, j), s in st.items():
+        out[g][j] = s[1]
+    return out

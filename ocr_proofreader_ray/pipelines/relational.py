@@ -1497,3 +1497,205 @@ def q_melt_lineitem(sf_dir: str):
         return pa.concat_tables(parts)
 
     return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# B7+ — non-equi interval join (range-count form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ship_window_counts",
+    sql="""
+    SELECT o_orderkey,
+           count(l_shipdate) AS window_ships,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS window_revenue_cents
+    FROM orders LEFT JOIN lineitem
+      ON l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+    GROUP BY o_orderkey
+    """,
+)
+def q_ship_window_counts(sf_dir: str):
+    """Non-equi interval join: per order, the count and revenue of ALL
+    lineitems (any order) shipped inside [o_orderdate, o_orderdate + 7d).
+
+    Plan: ``range_count_join`` — the lineitem side reduces to a bounded
+    per-calendar-day histogram (combiner ``grouped_agg``; merged state =
+    distinct days, corpus-independent), broadcast once as prefix-sum
+    arrays; orders stream through one vectorized ``searchsorted`` probe.
+    No all-to-all exchange, no pair materialization — a pairwise inequality
+    join here would be |orders| x |7-day lineitems| quadratic."""
+    from ocr_proofreader_ray.ops.join import range_count_join
+
+    orders = t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = t(sf_dir, "lineitem", ["l_shipdate", "l_extendedprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_shipdate": b.column("l_shipdate"),
+            "cents": to_units(b.column("l_extendedprice"), 100),
+        })
+
+    li = li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = range_count_join(
+        orders, "o_orderdate", li, "l_shipdate", window_days=7,
+        count_name="window_ships",
+        sum_col="cents", sum_name="window_revenue_cents")
+    return out.drop_columns(["o_orderdate"])
+
+
+# ---------------------------------------------------------------------------
+# B14 — NTILE window over exact distributed order statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ntile_customers",
+    sql="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS BIGINT)
+               AS tile
+    FROM customer
+    """,
+)
+def q_ntile_customers(sf_dir: str, tiles: int = 4):
+    """NTILE(4) per market segment ordered by (c_acctbal, c_custkey).
+
+    The naive window plan sorts every partition; at corpus scale a segment
+    is corpus-sized.  Instead the tile boundaries are ORDER STATISTICS —
+    rank i*q + min(i, r) per segment — computed exactly with
+    ``grouped_kth_smallest`` (driver gather under the size gate,
+    distributed bisection counting above it: O(log range) cheap combiner
+    passes, driver state O(segments x tiles) at any corpus size).  Rows
+    then stream through one searchsorted probe against the broadcast
+    boundaries.  Ordering key packs (cents, custkey) into one int64
+    (custkey < 2^33; |cents| < 2^30 — both hold for TPC-H shapes)."""
+    from ocr_proofreader_ray.ops.join import _fetch
+    from ocr_proofreader_ray.ops.selection import grouped_kth_smallest
+
+    ds = t(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def composite(b: pa.Table) -> pa.Table:
+        comp = pc.add(
+            pc.multiply(to_units(b.column("c_acctbal"), 100),
+                        pa.scalar(1 << 33, pa.int64())),
+            b.column("c_custkey"))
+        return b.append_column("__comp", comp)
+
+    ds = ds.map_batches(composite, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+
+    sizes = grouped_agg(ds, ["c_mktsegment"], [(None, "count", "n")])
+    ranks: dict = {}
+    for g, n in zip(sizes.column("c_mktsegment").to_pylist(),
+                    sizes.column("n").to_pylist()):
+        q, r = divmod(int(n), tiles)
+        # NTILE: first r tiles take q+1 rows; boundary = last rank of tile i
+        ranks[g] = [i * q + min(i, r) for i in range(1, tiles)
+                    if i * q + min(i, r) >= 1]
+    bounds = grouped_kth_smallest(ds, "c_mktsegment", "__comp", ranks)
+    ref = ray.put({g: np.asarray([v for v in vs if v is not None], np.int64)
+                   for g, vs in bounds.items()})
+
+    def assign(b: pa.Table) -> pa.Table:
+        bmap = _fetch(ref)
+        segs = b.column("c_mktsegment").to_pandas().to_numpy()
+        comp = np.asarray(b.column("__comp"))
+        tile = np.ones(len(comp), np.int64)
+        for g, bv in bmap.items():
+            m = segs == g
+            if m.any() and len(bv):
+                tile[m] = np.searchsorted(bv, comp[m], side="left") + 1
+        return b.drop_columns(["__comp"]).append_column(
+            "tile", pa.array(tile, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# B5+ — string_agg / listagg per group (bounded-distinct combiner)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_nation_segments",
+    sql="""
+    SELECT n_name, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment)
+               AS segments
+    FROM (SELECT DISTINCT n_name, c_mktsegment
+          FROM nation JOIN customer ON c_nationkey = n_nationkey)
+    GROUP BY n_name
+    """,
+)
+def q_nation_segments(sf_dir: str):
+    """Per nation, the sorted distinct market segments of its customers,
+    comma-joined — distributed string_agg(DISTINCT .. ORDER BY ..).
+
+    The combiner is the scale story: per-batch DISTINCT (nationkey,
+    segment) pairs, merged by a ``grouped_agg`` whose state is bounded by
+    nations x segments (125), never by customer count.  The 25-row nation
+    dimension joins on the driver; the concatenation itself touches only
+    the bounded distinct table."""
+    cust = t(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    pairs = grouped_agg(cust, ["c_nationkey", "c_mktsegment"],
+                        [(None, "count", "c")])
+
+    import pyarrow.parquet as pq
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+    by_nation: dict = {}
+    for nk, seg in zip(pairs.column("c_nationkey").to_pylist(),
+                       pairs.column("c_mktsegment").to_pylist()):
+        by_nation.setdefault(names[nk], []).append(seg)
+    rows = sorted(by_nation)
+    return pa.table({
+        "n_name": pa.array(rows, pa.string()),
+        "segments": pa.array([",".join(sorted(by_nation[n])) for n in rows],
+                             pa.string()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# B5+ — grouped mode (most frequent value, deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_quantity_mode",
+    sql="""
+    SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_count FROM (
+      SELECT l_returnflag, l_quantity, count(*) AS c,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY count(*) DESC, l_quantity) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity) WHERE rn = 1
+    """,
+)
+def q_quantity_mode(sf_dir: str):
+    """Per return flag, the most frequent l_quantity (ties -> smallest
+    value — deterministic, unlike SQL ``mode()``).
+
+    Combiner state is bounded by distinct (flag, quantity) combinations
+    (3 x 50 here), independent of row count; for unbounded value domains
+    the CMS heavy-hitter path (q_heavy_hitters_approx) is the plan."""
+    li = t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    counts = grouped_agg(li, ["l_returnflag", "l_quantity"],
+                         [(None, "count", "c")])
+    best: dict = {}
+    for flag, qty, c in zip(counts.column("l_returnflag").to_pylist(),
+                            counts.column("l_quantity").to_pylist(),
+                            counts.column("c").to_pylist()):
+        cur = best.get(flag)
+        if cur is None or (-c, qty) < (-cur[1], cur[0]):
+            best[flag] = (qty, c)
+    flags = sorted(best)
+    return pa.table({
+        "l_returnflag": pa.array(flags, pa.string()),
+        "mode_qty": pa.array([best[f][0] for f in flags], pa.float64()),
+        "mode_count": pa.array([best[f][1] for f in flags], pa.int64()),
+    })
