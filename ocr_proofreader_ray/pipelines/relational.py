@@ -1699,3 +1699,40 @@ def q_quantity_mode(sf_dir: str):
         "mode_qty": pa.array([best[f][0] for f in flags], pa.float64()),
         "mode_count": pa.array([best[f][1] for f in flags], pa.int64()),
     })
+
+
+@register(
+    "q_customer_orders_outer",
+    sql="""
+    SELECT COALESCE(c_custkey, o_custkey) AS c_custkey, c_mktsegment,
+           o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+    FROM customer FULL JOIN orders ON o_custkey = c_custkey
+    """,
+)
+def q_customer_orders_outer(sf_dir: str):
+    """FULL OUTER fact-fact join (B7): every customer with each of their
+    orders, plus customers with no orders (null order columns) and — were
+    any present — orders with no customer (null customer columns).
+
+    Outer semantics compose per partition because ``shuffle_join``
+    co-locates ALL rows of a key on both sides in one hash exchange: a
+    partition-local full outer is then exactly the global full outer
+    (non-matches of either side surface in the partition that owns their
+    key).  Broadcast plans cannot do this — right-side non-matches are
+    invisible to a streamed left — so this query always takes the
+    exchange.  Money stays per-row exact-integer cents (no sums)."""
+    cust = t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "o_orderkey": b.column("o_orderkey"),
+            "total_cents": to_units(b.column("o_totalprice"), 100),
+        })
+
+    orders = orders.map_batches(cents, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return shuffle_join(cust, orders, on=("c_custkey",),
+                        right_on=("o_custkey",), join_type="full outer")
