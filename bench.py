@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "q_segment_dedup",
     "q_source_cap",
     "q_typicality_buckets",
+    "q_ship_window_counts",
+    "q_ntile_customers",
+    "q_quantity_mode",
+    "q_customer_orders_outer",
 ]
 
 
