@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "q_ntile_customers",
     "q_quantity_mode",
     "q_customer_orders_outer",
+    "q_ordered_orders",
 ]
 
 

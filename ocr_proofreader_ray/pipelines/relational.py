@@ -1736,3 +1736,48 @@ def q_customer_orders_outer(sf_dir: str):
                                 zero_copy_batch=True)
     return shuffle_join(cust, orders, on=("c_custkey",),
                         right_on=("o_custkey",), join_type="full outer")
+
+
+@register(
+    "q_ordered_orders",
+    sql="""
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+           CAST(row_number() OVER (
+                ORDER BY floor(o_totalprice * 100 + 0.5) DESC, o_orderkey)
+                AS BIGINT) AS pos
+    FROM orders
+    """,
+)
+def q_ordered_orders(sf_dir: str):
+    """Global sort (B9+): every order ranked by (total price DESC,
+    orderkey ASC) with its EXACT global position — the full distributed
+    sort, not a top-k.
+
+    ``global_sort_position`` (ops/sort.py) is the sample-based
+    range-partitioned plan: bounded key sample -> range boundaries -> ONE
+    exchange -> per-range local sort, with global offsets known before the
+    exchange from a bounded histogram.  The descending+tie order packs
+    into one unique ascending int64 key ((-cents) << 33 | orderkey), which
+    is what makes the output permutation deterministic and the position
+    column hash-comparable against the SQL window oracle."""
+    from ocr_proofreader_ray.ops.sort import global_sort_position
+
+    orders = t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        cents = to_units(b.column("o_totalprice"), 100)
+        key = pc.add(
+            pc.multiply(pc.negate_checked(cents),
+                        pa.scalar(1 << 33, pa.int64())),
+            b.column("o_orderkey"))
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "total_cents": cents,
+            "__key": key,
+        })
+
+    packed = orders.map_batches(pack, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    out = global_sort_position(packed, "__key", position_name="pos")
+    return out.drop_columns(["__key"])

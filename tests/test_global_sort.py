@@ -1,0 +1,43 @@
+"""global_sort_position: exact global ranks, invariant to partitioning."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ocr_proofreader_ray.ops.sort import global_sort_position
+
+
+def _run(keys, num_partitions, blocks=5):
+    t = pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "tag": pa.array([f"r{k}" for k in keys], pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(blocks)
+    out = global_sort_position(ds, "k", position_name="pos",
+                               num_partitions=num_partitions,
+                               sample_max=50).to_pandas()
+    return out.sort_values("k").reset_index(drop=True)
+
+
+def test_positions_are_exact_global_ranks(ray_session):
+    rng = np.random.default_rng(11)
+    keys = rng.permutation(np.arange(-500, 500, dtype=np.int64)).tolist()
+    out = _run(keys, num_partitions=7)
+    # sorted by k, positions must be exactly 1..n
+    assert out["pos"].tolist() == list(range(1, len(keys) + 1))
+    assert out["tag"].tolist() == [f"r{k}" for k in sorted(keys)]
+
+
+def test_partition_count_invariance(ray_session):
+    rng = np.random.default_rng(5)
+    keys = rng.choice(10**9, size=400, replace=False).astype(np.int64).tolist()
+    a = _run(keys, num_partitions=1, blocks=2)
+    b = _run(keys, num_partitions=13, blocks=7)
+    assert a["pos"].tolist() == b["pos"].tolist()
+    assert a["k"].tolist() == b["k"].tolist()
+
+
+def test_tiny_input_fewer_boundaries(ray_session):
+    out = _run([3, -8, 12], num_partitions=16, blocks=1)
+    assert out["k"].tolist() == [-8, 3, 12]
+    assert out["pos"].tolist() == [1, 2, 3]
