@@ -1781,3 +1781,55 @@ def q_ordered_orders(sf_dir: str):
                                 zero_copy_batch=True)
     out = global_sort_position(packed, "__key", position_name="pos")
     return out.drop_columns(["__key"])
+
+
+@register(
+    "q_price_quartiles",
+    sql="""
+    SELECT l_returnflag,
+           quantile_disc(cents, 0.25) AS p25_cents,
+           quantile_disc(cents, 0.50) AS p50_cents,
+           quantile_disc(cents, 0.75) AS p75_cents
+    FROM (SELECT l_returnflag,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def q_price_quartiles(sf_dir: str):
+    """EXACT p25/p50/p75 of the extended price per return flag
+    (``quantile_disc`` semantics: the value at rank ceil(n*q), probed
+    against DuckDB at n=4..7).
+
+    Complements q_doc_length_quantiles: the value-histogram combiner there
+    is bounded by DISTINCT VALUES, which works for lengths but not for a
+    ~10^7-distinct money domain.  Here the three ranks per group are
+    order statistics from ``grouped_kth_smallest`` — driver gather under
+    the size gate, distributed bisection counting above it, so the plan is
+    exact at any corpus size with O(groups x 3) driver state."""
+    from ocr_proofreader_ray.ops.selection import grouped_kth_smallest
+
+    li = t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "cents": to_units(b.column("l_extendedprice"), 100),
+        })
+
+    ds = li.map_batches(cents, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    sizes = grouped_agg(ds, ["l_returnflag"], [(None, "count", "n")])
+    ranks = {
+        g: [-(-int(n) * q // 100) for q in (25, 50, 75)]
+        for g, n in zip(sizes.column("l_returnflag").to_pylist(),
+                        sizes.column("n").to_pylist())
+    }
+    vals = grouped_kth_smallest(ds, "l_returnflag", "cents", ranks)
+    flags = sorted(vals)
+    return pa.table({
+        "l_returnflag": pa.array(flags, pa.string()),
+        "p25_cents": pa.array([vals[f][0] for f in flags], pa.int64()),
+        "p50_cents": pa.array([vals[f][1] for f in flags], pa.int64()),
+        "p75_cents": pa.array([vals[f][2] for f in flags], pa.int64()),
+    })
