@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "q_quantity_mode",
     "q_customer_orders_outer",
     "q_ordered_orders",
+    "q_dedup_incremental",
 ]
 
 

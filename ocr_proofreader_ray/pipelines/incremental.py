@@ -1,0 +1,237 @@
+"""Incremental (cross-snapshot) MinHash dedup.
+
+The 100-TB-relevant shape of near-dup dedup is not "dedup one frozen
+corpus" — it is "a new crawl snapshot arrives every week; drop its docs
+that duplicate the ALREADY-RETAINED corpus (or each other) WITHOUT
+reprocessing the corpus".  The state that makes this possible is the
+**band index**: the (doc_id, band_id, band_key) LSH rows of every retained
+document, persisted as append-only parquet under a work dir.  Per
+increment the plan is:
+
+1. band the new docs (`dedup._band_rows` — the exact machinery the batch
+   path uses, so incremental and batch agree on candidate generation);
+2. SEMI-FILTER the index to buckets touched by the new docs — the new
+   band-key set is increment-sized and broadcasts (or Blooms, same
+   size-gate as elsewhere); the corpus-sized index streams through ONE
+   `is_in` filter, nothing corpus-sized shuffles;
+3. candidate pairs over (touched-index ∪ new bands) via the shared
+   star-capped bucket pair generation, kept only where at least one side
+   is new;
+4. exact verification via the shared adaptive gather/shuffle element-join
+   plan (`dedup._verify_pairs`) over (retained-corpus ∪ increment) docs —
+   the element explode is candidate-only, so old docs are touched only if
+   an LSH bucket put them in a pair;
+5. cluster the verified pairs: a component containing ANY retained old
+   doc drops all of its new members; an all-new component keeps its min
+   doc_id.  With increments arriving in ascending doc_id order this
+   reproduces the batch keep rule (rep = component min) whenever the
+   connecting pairs survive — the planted-fixture equivalence is pinned
+   by tests; chains that run EXCLUSIVELY through a doc the bootstrap
+   itself dropped can differ (greedy-incremental semantics, the standard
+   tradeoff for this plan);
+6. append the kept new docs' band rows to the index — append-only files,
+   so a failed increment re-runs cleanly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ocr_proofreader_ray.ops.join import broadcast_semi_anti
+from ocr_proofreader_ray.pipelines.dedup import (
+    _band_rows,
+    _candidate_pairs,
+    _verify_pairs,
+    dedup_clusters,
+)
+from ocr_proofreader_ray.functions.sketches import shingles
+
+_INDEX_SUBDIR = "band_index"
+
+
+def _index_dir(work_dir: str) -> str:
+    d = os.path.join(work_dir, _INDEX_SUBDIR)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _write_index_batch(work_dir: str, bands: "ray.data.Dataset",
+                       batch_tag: str) -> None:
+    """Write one batch of band rows as new parquet files (append-only: a
+    re-run of a failed increment overwrites its own tag, nothing else)."""
+    import shutil
+
+    out = os.path.join(_index_dir(work_dir), batch_tag)
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    bands.select_columns(["doc_id", "band_id", "band_key", "part"]) \
+        .write_parquet(out)
+
+
+def _element_rows(shingle_n: int):
+    def fn(text: str):
+        return [h - (1 << 63)
+                for h in shingles((text or "").split(), n=shingle_n)]
+    return fn
+
+
+def bootstrap_index(docs: "ray.data.Dataset", work_dir: str,
+                    shingle_n: int = 3,
+                    jaccard_threshold: float = 0.5) -> pa.Array:
+    """Batch-dedup the initial corpus, persist the retained docs' band
+    index under ``work_dir``; returns the dropped doc ids (the keep set is
+    everything else — callers keep their corpus store and drop these)."""
+    from ocr_proofreader_ray.pipelines.dedup import minhash_lsh_pairs
+
+    docs = docs.materialize()  # banded twice (pairs + index append)
+    pairs = minhash_lsh_pairs(docs, shingle_n=shingle_n,
+                              jaccard_threshold=jaccard_threshold)
+    clusters = dedup_clusters(pairs)
+    drop = clusters.filter(
+        pc.not_equal(clusters.column("doc_id"), clusters.column("rep_id"))
+    ).column("doc_id").combine_chunks()
+
+    bands = _band_rows(docs, shingle_n)
+    if len(drop):
+        bands = broadcast_semi_anti(bands, drop, on="doc_id", anti=True)
+    _write_index_batch(work_dir, bands, "bootstrap")
+    return drop
+
+
+def dedup_increment(
+    new_docs: "ray.data.Dataset",
+    corpus_docs: "ray.data.Dataset",
+    work_dir: str,
+    batch_tag: str,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> dict:
+    """Dedup ``new_docs`` against the persisted band index (and itself).
+
+    ``corpus_docs`` is the retained corpus (doc_id, text) — read only for
+    the candidate-only verification explode.  Returns a dict with the kept
+    new ids plus drop lineage counts, and appends the kept band rows to
+    the index under ``batch_tag``.
+    """
+    new_docs = new_docs.materialize()  # banded + verified + id-scanned
+    new_bands = _band_rows(new_docs, shingle_n).materialize()
+
+    new_ids = pa.concat_tables(
+        ray.get(new_docs.select_columns(["doc_id"]).to_arrow_refs()),
+        promote_options="default").column("doc_id").combine_chunks().unique()
+    new_id_set = set(new_ids.to_pylist())
+
+    # 2. touched index buckets: the new band-key set is increment-sized
+    # (32 keys/doc); over-selection from a cross-band key collision only
+    # admits old rows whose old-old pairs are filtered out below
+    new_keys = pa.concat_tables(
+        ray.get(new_bands.select_columns(["band_key"]).to_arrow_refs()),
+        promote_options="default").column("band_key").combine_chunks()
+    index = ray.data.read_parquet(_index_dir(work_dir))
+    touched = broadcast_semi_anti(index, new_keys, on="band_key")
+
+    # 3. shared star-capped pair generation; keep pairs touching a new doc
+    pairs = _candidate_pairs(touched.union(new_bands))
+    if pairs.num_rows:
+        is_new_a = pc.is_in(pairs.column("doc_a"), value_set=new_ids)
+        is_new_b = pc.is_in(pairs.column("doc_b"), value_set=new_ids)
+        pairs = pairs.filter(pc.or_(is_new_a, is_new_b))
+
+    # 4. exact verification over (corpus ∪ increment); explode is
+    # candidate-only on both sides
+    thr_num = int(jaccard_threshold * 1_000_000)
+    verified = _verify_pairs(
+        corpus_docs.select_columns(["doc_id", "text"])
+        .union(new_docs.select_columns(["doc_id", "text"])),
+        pairs, _element_rows(shingle_n),
+        thr_num=thr_num, thr_den=1_000_000)
+
+    # 5. component rule: any old member -> drop all new members;
+    # all-new component -> keep min
+    clusters = dedup_clusters(verified)
+    comp: dict[int, list[int]] = {}
+    comp_has_old: dict[int, bool] = {}
+    for d, r in zip(clusters.column("doc_id").to_pylist(),
+                    clusters.column("rep_id").to_pylist()):
+        if d in new_id_set:
+            comp.setdefault(r, []).append(d)
+        else:
+            comp_has_old[r] = True
+    dropped_vs_corpus: list[int] = []
+    dropped_within: list[int] = []
+    for r, members in comp.items():
+        if comp_has_old.get(r):
+            dropped_vs_corpus.extend(members)
+        else:
+            dropped_within.extend(m for m in members if m != min(members))
+    drop_set = set(dropped_vs_corpus) | set(dropped_within)
+    keep_ids = pa.array(
+        sorted(i for i in new_id_set if i not in drop_set), pa.int64())
+
+    # 6. append kept band rows (append-only, re-runnable per tag)
+    _write_index_batch(
+        work_dir, broadcast_semi_anti(new_bands, keep_ids, on="doc_id"),
+        batch_tag)
+    return {
+        "keep_ids": keep_ids,
+        "n_new": len(new_id_set),
+        "n_dropped_vs_corpus": len(dropped_vs_corpus),
+        "n_dropped_within_increment": len(dropped_within),
+    }
+
+
+from ocr_proofreader_ray.pipelines.registry import register  # noqa: E402
+from ocr_proofreader_ray.pipelines.relational import t  # noqa: E402
+
+
+@register("q_dedup_incremental")  # sketch-based incremental plan: rows-only
+def q_dedup_incremental(sf_dir: str):
+    """Cross-snapshot dedup demonstration over the documents table: the
+    lower doc_id half bootstraps the corpus + band index, the upper half
+    arrives as a crawl increment and dedups against the index WITHOUT
+    re-banding the retained corpus.  Returns the final keep list with the
+    phase each survivor was admitted in."""
+    import shutil
+
+    from ray.data.aggregate import Max, Min
+
+    docs = t(sf_dir, "documents", ["doc_id", "text"])
+    stats = docs.aggregate(Min("doc_id"), Max("doc_id"))
+    cut = (int(stats["min(doc_id)"]) + int(stats["max(doc_id)"])) // 2
+
+    def below(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less_equal(b.column("doc_id"), cut))
+
+    def above(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("doc_id"), cut))
+
+    old = docs.map_batches(below, batch_format="pyarrow", zero_copy_batch=True)
+    new = docs.map_batches(above, batch_format="pyarrow", zero_copy_batch=True)
+
+    work_dir = os.path.join(
+        "/tmp/opr_incremental", os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(work_dir, ignore_errors=True)
+
+    old = old.materialize()
+    drop_old = bootstrap_index(old, work_dir)
+    kept_old = old
+    if len(drop_old):
+        kept_old = broadcast_semi_anti(old, drop_old, on="doc_id", anti=True)
+    kept_old = kept_old.materialize()
+
+    res = dedup_increment(new, kept_old, work_dir, "inc-1")
+
+    old_ids = sorted(pa.concat_tables(
+        ray.get(kept_old.select_columns(["doc_id"]).to_arrow_refs()),
+        promote_options="default").column("doc_id").to_pylist())
+    new_ids = res["keep_ids"].to_pylist()
+    return pa.table({
+        "doc_id": pa.array(old_ids + new_ids, pa.int64()),
+        "phase": pa.array(["bootstrap"] * len(old_ids)
+                          + ["inc-1"] * len(new_ids), pa.string()),
+    })

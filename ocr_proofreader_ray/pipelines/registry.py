@@ -35,6 +35,7 @@ def all_queries() -> dict[str, Callable[[str], Any]]:
     # import side-effect modules that populate the registry
     from ocr_proofreader_ray.pipelines import (  # noqa: F401
         dedup,
+        incremental,
         multimodal,
         pdf,
         relational,

@@ -1,0 +1,95 @@
+"""Incremental cross-snapshot MinHash dedup (pipelines/incremental.py):
+planted duplicates across and within increments, batch equivalence on the
+planted fixture, idempotent re-increment of copies, index growth."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ocr_proofreader_ray.pipelines.dedup import dedup_clusters, minhash_lsh_pairs
+from ocr_proofreader_ray.pipelines.incremental import (
+    bootstrap_index,
+    dedup_increment,
+)
+
+
+def _text(rng, n_words=30, vocab=1000):
+    return " ".join(f"w{rng.integers(0, vocab)}" for _ in range(n_words))
+
+
+def _docs(rows):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })).repartition(3)
+
+
+def _fixture():
+    rng = np.random.default_rng(42)
+    texts = {i: _text(rng) for i in range(1, 11)}
+    old = [(i, texts[i]) for i in range(1, 11)]
+    old.append((11, texts[1]))          # in-bootstrap duplicate of doc 1
+    t22 = _text(rng)
+    new = [
+        (20, texts[2]),                 # duplicate of retained corpus doc
+        (21, t22), (22, t22),           # duplicate pair within increment
+        (23, _text(rng)),               # unique
+        (24, texts[1]),                 # dup of doc 1 via DROPPED doc 11
+    ]
+    return old, new
+
+
+def test_increment_drops_and_keeps(ray_session, tmp_path):
+    old, new = _fixture()
+    work = str(tmp_path / "w1")
+    drop_old = bootstrap_index(_docs(old), work)
+    assert drop_old.to_pylist() == [11]
+
+    kept_old = _docs([r for r in old if r[0] != 11])
+    res = dedup_increment(_docs(new), kept_old, work, "inc-1")
+    assert res["keep_ids"].to_pylist() == [21, 23]
+    assert res["n_new"] == 5
+    assert res["n_dropped_vs_corpus"] == 2      # 20 and 24
+    assert res["n_dropped_within_increment"] == 1  # 22
+
+    # equivalence with the batch plan on the planted fixture
+    pairs = minhash_lsh_pairs(_docs(old + new), shingle_n=3,
+                              jaccard_threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    batch_drop = {d for d, r in zip(clusters.column("doc_id").to_pylist(),
+                                    clusters.column("rep_id").to_pylist())
+                  if d != r}
+    batch_keep = sorted({r[0] for r in old + new} - batch_drop)
+    inc_keep = sorted([r[0] for r in old if r[0] != 11]
+                      + res["keep_ids"].to_pylist())
+    assert inc_keep == batch_keep
+
+
+def test_second_increment_of_copies_all_dropped(ray_session, tmp_path):
+    old, new = _fixture()
+    work = str(tmp_path / "w2")
+    bootstrap_index(_docs(old), work)
+    kept_old = _docs([r for r in old if r[0] != 11])
+    res1 = dedup_increment(_docs(new), kept_old, work, "inc-1")
+
+    # copies of the SURVIVORS of increment 1 under fresh ids: the index
+    # grew, so every copy must now be dropped vs the corpus
+    by_id = dict(new)
+    copies = [(30, by_id[21]), (31, by_id[23])]
+    corpus2 = _docs([r for r in old if r[0] != 11]
+                    + [r for r in new if r[0] in res1["keep_ids"].to_pylist()])
+    res2 = dedup_increment(_docs(copies), corpus2, work, "inc-2")
+    assert res2["keep_ids"].to_pylist() == []
+    assert res2["n_dropped_vs_corpus"] == 2
+
+
+def test_disjoint_increment_all_kept(ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    old = [(i, _text(rng)) for i in range(1, 6)]
+    new = [(i, _text(rng)) for i in range(10, 15)]
+    work = str(tmp_path / "w3")
+    bootstrap_index(_docs(old), work)
+    res = dedup_increment(_docs(new), _docs(old), work, "inc-1")
+    assert res["keep_ids"].to_pylist() == [10, 11, 12, 13, 14]
+    assert res["n_dropped_vs_corpus"] == 0
+    assert res["n_dropped_within_increment"] == 0
