@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "q_customer_orders_outer",
     "q_ordered_orders",
     "q_dedup_incremental",
+    "q_events_resampled",
 ]
 
 
