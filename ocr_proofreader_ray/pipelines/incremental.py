@@ -53,6 +53,11 @@ from ocr_proofreader_ray.functions.sketches import shingles
 
 _INDEX_SUBDIR = "band_index"
 
+# above this many distinct increment band keys the touched-bucket semi
+# filter ships a fixed-size Bloom instead of the exact key set (same gate
+# family as dedup._BLOOM_SEMI_THRESHOLD)
+_KEYS_BLOOM_THRESHOLD = 2_000_000
+
 
 def _index_dir(work_dir: str) -> str:
     d = os.path.join(work_dir, _INDEX_SUBDIR)
@@ -131,9 +136,26 @@ def dedup_increment(
     # admits old rows whose old-old pairs are filtered out below
     new_keys = pa.concat_tables(
         ray.get(new_bands.select_columns(["band_key"]).to_arrow_refs()),
-        promote_options="default").column("band_key").combine_chunks()
+        promote_options="default").column("band_key").combine_chunks().unique()
     index = ray.data.read_parquet(_index_dir(work_dir))
-    touched = broadcast_semi_anti(index, new_keys, on="band_key")
+    if len(new_keys) > _KEYS_BLOOM_THRESHOLD:
+        # huge increment: ship a fixed-size Bloom instead of the exact key
+        # set; false positives only admit old rows whose old-old pairs are
+        # dropped below — results identical, waste bounded
+        from ocr_proofreader_ray.functions.bloom import BloomFilter
+
+        bf = BloomFilter(len(new_keys), fpp=0.01)
+        bf.add_column(new_keys)
+        bref = ray.put(bf)
+
+        def bloom_touch(b: pa.Table) -> pa.Table:
+            f = ray.get(bref)
+            return b.filter(pa.array(f.contains_column(b.column("band_key"))))
+
+        touched = index.map_batches(bloom_touch, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    else:
+        touched = broadcast_semi_anti(index, new_keys, on="band_key")
 
     # 3. shared star-capped pair generation; keep pairs touching a new doc
     pairs = _candidate_pairs(touched.union(new_bands))

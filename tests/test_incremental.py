@@ -93,3 +93,18 @@ def test_disjoint_increment_all_kept(ray_session, tmp_path):
     assert res["keep_ids"].to_pylist() == [10, 11, 12, 13, 14]
     assert res["n_dropped_vs_corpus"] == 0
     assert res["n_dropped_within_increment"] == 0
+
+
+def test_bloom_touch_path_equals_broadcast(ray_session, tmp_path, monkeypatch):
+    import ocr_proofreader_ray.pipelines.incremental as inc
+
+    old, new = _fixture()
+    results = {}
+    for label, thresh in [("broadcast", 10**9), ("bloom", 0)]:
+        monkeypatch.setattr(inc, "_KEYS_BLOOM_THRESHOLD", thresh)
+        work = str(tmp_path / label)
+        bootstrap_index(_docs(old), work)
+        kept_old = _docs([r for r in old if r[0] != 11])
+        res = dedup_increment(_docs(new), kept_old, work, "inc-1")
+        results[label] = res["keep_ids"].to_pylist()
+    assert results["broadcast"] == results["bloom"] == [21, 23]
