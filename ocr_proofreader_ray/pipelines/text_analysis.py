@@ -1382,3 +1382,70 @@ def q_typicality_buckets(sf_dir: str, force_join: bool = False,
 
     return scores.map_batches(assign, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# context-window document chunking (training-example spans)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 512
+_CHUNK_STRIDE = 384  # 128-token overlap between consecutive windows
+
+
+@register(
+    "q_chunk_spans",
+    sql=f"""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS tok_start,
+           CAST(LEAST({_CHUNK_SIZE}, n_tok - i * {_CHUNK_STRIDE}) AS BIGINT)
+               AS tok_len
+    FROM (SELECT doc_id,
+                 length(text) - length(replace(text, ' ', '')) + 1 AS n_tok
+          FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(
+             0, CAST(ceil(d.n_tok / {_CHUNK_STRIDE}.0) AS BIGINT) - 1)) AS i) g
+    """,
+)
+def q_chunk_spans(sf_dir: str):
+    """Sliding context-window chunking: every document split into
+    {size}-token spans at stride {stride} (overlap keeps context across
+    window boundaries) — the expansion step that turns a cleaned corpus
+    into training examples.  Emits (doc_id, chunk_idx, tok_start, tok_len)
+    spans, not text, so the output stays index-sized.
+
+    Pure per-batch flat expansion — no shuffle, no state, fully
+    vectorized (token counts via Arrow string kernels on the single-space
+    corpus, span arithmetic via one np.repeat/arange): streams at read
+    bandwidth and stays block-parallel at any corpus size."""
+    import numpy as np
+
+    docs = t(sf_dir, "documents", ["doc_id", "text"])
+
+    def expand(b: pa.Table) -> pa.Table:
+        n_tok = pc.add(
+            pc.subtract(
+                pc.utf8_length(b.column("text")),
+                pc.utf8_length(pc.replace_substring(
+                    b.column("text"), pattern=" ", replacement=""))),
+            pa.scalar(1, pa.int64()))
+        n = np.asarray(pc.cast(n_tok, pa.int64()))
+        ids = np.asarray(b.column("doc_id"), np.int64)
+        n_chunks = -(-n // _CHUNK_STRIDE)  # ceil; >= 1 since n_tok >= 1
+        total = int(n_chunks.sum())
+        rep_ids = np.repeat(ids, n_chunks)
+        ends = np.cumsum(n_chunks)
+        # per-row arange: global arange minus each row's start offset
+        idx = np.arange(total, dtype=np.int64) - np.repeat(
+            ends - n_chunks, n_chunks)
+        starts = idx * _CHUNK_STRIDE
+        lens = np.minimum(_CHUNK_SIZE, np.repeat(n, n_chunks) - starts)
+        return pa.table({
+            "doc_id": pa.array(rep_ids, pa.int64()),
+            "chunk_idx": pa.array(idx, pa.int64()),
+            "tok_start": pa.array(starts, pa.int64()),
+            "tok_len": pa.array(lens, pa.int64()),
+        })
+
+    return docs.map_batches(expand, batch_format="pyarrow",
+                            zero_copy_batch=True)
