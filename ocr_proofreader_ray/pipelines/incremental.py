@@ -124,6 +124,14 @@ def dedup_increment(
     the index under ``batch_tag``.
     """
     new_docs = new_docs.materialize()  # banded + verified + id-scanned
+    if new_docs.count() == 0:
+        # empty increment: nothing to dedup, nothing to index
+        return {
+            "keep_ids": pa.array([], pa.int64()),
+            "n_new": 0,
+            "n_dropped_vs_corpus": 0,
+            "n_dropped_within_increment": 0,
+        }
     new_bands = _band_rows(new_docs, shingle_n).materialize()
 
     new_ids = pa.concat_tables(

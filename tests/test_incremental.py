@@ -108,3 +108,19 @@ def test_bloom_touch_path_equals_broadcast(ray_session, tmp_path, monkeypatch):
         res = dedup_increment(_docs(new), kept_old, work, "inc-1")
         results[label] = res["keep_ids"].to_pylist()
     assert results["broadcast"] == results["bloom"] == [21, 23]
+
+
+def test_empty_increment_is_noop(ray_session, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    old = [(i, _text(rng)) for i in range(1, 6)]
+    work = str(tmp_path / "w4")
+    bootstrap_index(_docs(old), work)
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    res = dedup_increment(empty, _docs(old), work, "empty-inc")
+    assert res["keep_ids"].to_pylist() == []
+    assert res["n_new"] == 0
