@@ -1918,3 +1918,70 @@ def q_events_resampled(sf_dir: str):
     return parted.groupby("__part").map_groups(
         lambda g: fill_many(g.drop(columns="__part")),
         batch_format="pandas")
+
+
+@register(
+    "q_quantity_percentiles",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           percent_rank() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity) AS pct_rank,
+           cume_dist() OVER (PARTITION BY l_returnflag
+                             ORDER BY l_quantity) AS cume
+    FROM lineitem
+    """,
+)
+def q_quantity_percentiles(sf_dir: str):
+    """percent_rank + cume_dist window over every lineitem row (B14+).
+
+    The naive window plan sorts each partition (corpus-sized at scale).
+    Both functions only depend on the row's VALUE within its group, so
+    over a bounded value domain (50 quantities x 3 flags) the whole
+    window collapses to: one combiner count histogram -> driver rank
+    tables (rank = count(<v)+1, RANK tie semantics; pct = (rank-1)/(n-1);
+    cume = count(<=v)/n — exact-int operands, so the float divisions are
+    bit-identical to the SQL engine's) -> ONE broadcast searchsorted
+    lookup as rows stream.  No shuffle, no sort, row output stays
+    block-parallel."""
+    from ocr_proofreader_ray.ops.join import _fetch
+
+    li = t(sf_dir, "lineitem",
+           ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"])
+    counts = grouped_agg(li, ["l_returnflag", "l_quantity"],
+                         [(None, "count", "c")])
+
+    lut: dict = {}
+    by_flag: dict = {}
+    for f, q, c in zip(counts.column("l_returnflag").to_pylist(),
+                       counts.column("l_quantity").to_pylist(),
+                       counts.column("c").to_pylist()):
+        by_flag.setdefault(f, []).append((q, c))
+    for f, qc in by_flag.items():
+        qc.sort()
+        vals = np.asarray([q for q, _ in qc], np.float64)
+        cnts = np.asarray([c for _, c in qc], np.int64)
+        n = int(cnts.sum())
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]])  # count(< v)
+        le = np.cumsum(cnts)                                 # count(<= v)
+        pct = (below.astype(np.float64)
+               / float(n - 1 if n > 1 else 1))               # rank-1 = below
+        cume = le.astype(np.float64) / float(n)
+        lut[f] = (vals, pct, cume)
+    ref = ray.put(lut)
+
+    def assign(b: pa.Table) -> pa.Table:
+        m = _fetch(ref)
+        flags = b.column("l_returnflag").to_pandas().to_numpy()
+        qty = np.asarray(b.column("l_quantity"), np.float64)
+        pct = np.empty(len(qty), np.float64)
+        cume = np.empty(len(qty), np.float64)
+        for f, (vals, p, c) in m.items():
+            mask = flags == f
+            if mask.any():
+                idx = np.searchsorted(vals, qty[mask])
+                pct[mask] = p[idx]
+                cume[mask] = c[idx]
+        return b.append_column("pct_rank", pa.array(pct, pa.float64())) \
+                .append_column("cume", pa.array(cume, pa.float64()))
+
+    return li.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
