@@ -1449,3 +1449,90 @@ def q_chunk_spans(sf_dir: str):
 
     return docs.map_batches(expand, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson–Spärck Jones, public knowledge)
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("spark", "window", "hash")  # deterministic fixed query
+
+
+@register("q_bm25_topk")  # float log scoring: rows-only driver check
+def q_bm25_topk(sf_dir: str, query: tuple = _BM25_QUERY, k: int = 10):
+    """BM25 top-k document retrieval for a fixed term query — the textual
+    complement of the ANN queries (B15): score EVERY document against the
+    query, return the k best (score desc, doc_id asc).
+
+    Scale plan — two streaming passes, no shuffle:
+    1. corpus-stats pass: N, total tokens (-> avgdl) and per-term document
+       frequencies via ONE combiner aggregate over vectorized
+       boundary-safe substring counts (text is single-space soup; spaces
+       are doubled first so adjacent occurrences cannot swallow each
+       other's separator in non-overlapping counting);
+    2. scoring pass: idf (driver floats, term-count-sized) broadcasts in
+       the closure; each batch computes tf vectorized and the BM25 sum in
+       numpy; block-local top-k + driver merge (ops/agg.top_k — no global
+       sort).
+    """
+    import numpy as np
+
+    from ocr_proofreader_ray.ops.agg import top_k
+
+    docs = t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tf_cols(b: pa.Table) -> tuple:
+        text = b.column("text")
+        padded = pc.binary_join_element_wise(
+            pa.scalar(" "), pc.replace_substring(text, pattern=" ",
+                                                 replacement="  "),
+            pa.scalar(" "), "")
+        n_tok = pc.add(
+            pc.subtract(pc.utf8_length(text),
+                        pc.utf8_length(pc.replace_substring(
+                            text, pattern=" ", replacement=""))),
+            pa.scalar(1, pa.int64()))
+        tfs = [np.asarray(pc.count_substring(padded, f" {term} "),
+                          dtype=np.int64) for term in query]
+        return np.asarray(pc.cast(n_tok, pa.int64())), tfs
+
+    def stats(b: pa.Table) -> pa.Table:
+        n_tok, tfs = _tf_cols(b)
+        row = {"n_docs": [b.num_rows], "sum_tokens": [int(n_tok.sum())]}
+        for i, tf in enumerate(tfs):
+            row[f"df_{i}"] = [int((tf > 0).sum())]
+        return pa.table(row)
+
+    merged = grouped_agg(
+        docs.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(lambda t_: t_.append_column(
+            "one", pa.array([1] * t_.num_rows, pa.int8())),
+            batch_format="pyarrow"),
+        ["one"],
+        [("n_docs", "sum", "n_docs"), ("sum_tokens", "sum", "sum_tokens")]
+        + [(f"df_{i}", "sum", f"df_{i}") for i in range(len(query))])
+    n_corpus = int(merged.column("n_docs")[0].as_py())
+    avgdl = (int(merged.column("sum_tokens")[0].as_py()) / n_corpus
+             if n_corpus else 1.0)
+    idf = np.asarray([
+        np.log(1.0 + (n_corpus - df + 0.5) / (df + 0.5))
+        for df in (int(merged.column(f"df_{i}")[0].as_py())
+                   for i in range(len(query)))
+    ])
+
+    def score(b: pa.Table) -> pa.Table:
+        n_tok, tfs = _tf_cols(b)
+        dl_norm = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * n_tok / avgdl)
+        s = np.zeros(b.num_rows, np.float64)
+        for i, tf in enumerate(tfs):
+            s += idf[i] * tf * (_BM25_K1 + 1.0) / (tf + dl_norm)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "score": pa.array(s, pa.float64()),
+        })
+
+    scored = docs.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return top_k(scored, [("score", "descending"), ("doc_id", "ascending")], k)

@@ -256,3 +256,40 @@ def test_typicality_broadcast_and_join_paths_equivalent(ray_session):
         assert set(counts.index) <= {0, 1, 2}
         if n >= 3:
             assert counts.get(0, 0) >= 1 and counts.get(2, 0) >= 1
+
+
+def test_bm25_topk_matches_pure_python(ray_session):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ocr_proofreader_ray.pipelines.text_analysis import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_QUERY,
+        q_bm25_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    rows = list(zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist()))
+    toks = {d: (txt or "").split(" ") for d, txt in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for term in _BM25_QUERY:
+        df = sum(1 for v in toks.values() if term in v)
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for d, v in toks.items():
+            tf = v.count(term)
+            dl_norm = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * len(v) / avgdl)
+            scores[d] = scores.get(d, 0.0) + idf * tf * (_BM25_K1 + 1.0) / (tf + dl_norm)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = q_bm25_topk(sf)
+    got_rows = list(zip(got.column("doc_id").to_pylist(),
+                        got.column("score").to_pylist()))
+    assert [d for d, _ in got_rows] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got_rows, want):
+        assert abs(gs - ws) < 1e-12
