@@ -354,3 +354,96 @@ def q_embedding_norm_stats(sf_dir: str):
             ("normsq_mu", "max", "max_normsq_mu"),
         ])
     return agg
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA over the embedding column (exact-integer moment sums)
+# ---------------------------------------------------------------------------
+
+_PCA_COMPONENTS = 2
+_PCA_QUANT = 1000.0  # milliunit quantization, same contract as norm_stats
+
+
+@register("q_embedding_pca")  # eigendecomposition: rows-only driver check
+def q_embedding_pca(sf_dir: str, n_components: int = _PCA_COMPONENTS):
+    """PCA projection of every embedding onto the corpus' top principal
+    components — the dimensionality-reduction step embedding pipelines run
+    before visualization/clustering.
+
+    Scale plan: the ONLY corpus-sized work is two streaming passes.
+    Pass 1 accumulates exact-integer moment sums per block (elements
+    quantized to milliunits in float64 first — the repo contract that
+    makes distributed sums order-invariant): n, S1[d], S2[d,d].  Partials
+    tree-reduce (a second map_batches pass sums ~1024 partial rows per
+    call) so the driver sees O(blocks/1024) rows of d(d+1) ints at any
+    corpus size.  The driver forms cov = S2/n − μμᵀ in float64
+    (single-threaded, deterministic), takes eigh's top components with a
+    fixed sign convention (largest-|x| coordinate positive), and pass 2
+    projects every vector against the broadcast W — one numpy matmul per
+    batch.  d is the embedding dim (64): driver state is d², never corpus.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    ds = ds.materialize()  # two passes: moments + projection
+    dim = len(ds.take(1)[0]["embedding"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        mat = _batch_matrix(b).astype(np.float64)
+        q = np.floor(mat * _PCA_QUANT + 0.5).astype(np.int64)
+        return pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "s1": pa.array([q.sum(axis=0).tolist()],
+                           pa.list_(pa.int64())),
+            "s2": pa.array([(q.T @ q).reshape(-1).tolist()],
+                           pa.list_(pa.int64())),
+        })
+
+    def reduce_partials(b: pa.Table) -> pa.Table:
+        n = int(np.asarray(b.column("n")).sum())
+        s1 = np.zeros(dim, np.int64)
+        s2 = np.zeros(dim * dim, np.int64)
+        for row_s1, row_s2 in zip(b.column("s1").to_pylist(),
+                                  b.column("s2").to_pylist()):
+            s1 += np.asarray(row_s1, np.int64)
+            s2 += np.asarray(row_s2, np.int64)
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "s1": pa.array([s1.tolist()], pa.list_(pa.int64())),
+            "s2": pa.array([s2.tolist()], pa.list_(pa.int64())),
+        })
+
+    partials = ds.map_batches(moments, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    reduced = partials.map_batches(reduce_partials, batch_format="pyarrow",
+                                   batch_size=1024)
+    final = reduce_partials(pa.concat_tables(
+        ray.get(reduced.to_arrow_refs()), promote_options="default"))
+    n = int(final.column("n")[0].as_py())
+    s1 = np.asarray(final.column("s1")[0].as_py(), np.float64)
+    s2 = np.asarray(final.column("s2")[0].as_py(),
+                    np.float64).reshape(dim, dim)
+    mu = s1 / n
+    cov = s2 / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    w = evecs[:, order].T.copy()  # (k, d)
+    for i in range(w.shape[0]):   # deterministic sign: largest-|x| coord > 0
+        j = int(np.argmax(np.abs(w[i])))
+        if w[i, j] < 0:
+            w[i] = -w[i]
+    w_ref = ray.put((w, mu))
+
+    def project(b: pa.Table) -> pa.Table:
+        from ocr_proofreader_ray.ops.join import _fetch
+
+        wt, mu_ = _fetch(w_ref)
+        mat = _batch_matrix(b).astype(np.float64)
+        q = np.floor(mat * _PCA_QUANT + 0.5)
+        y = (q - mu_) @ wt.T / _PCA_QUANT
+        cols = {"vec_id": b.column("vec_id")}
+        for i in range(wt.shape[0]):
+            cols[f"pc{i + 1}"] = pa.array(y[:, i], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -142,3 +142,37 @@ def test_kmeans_labels(ray_session):
     out2 = q_kmeans_labels(SF, n_cells=n_cells).to_pandas()
     assert out.sort_values("vec_id").reset_index(drop=True).equals(
         out2.sort_values("vec_id").reset_index(drop=True))
+
+
+def test_embedding_pca_matches_numpy_reference(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_proofreader_ray.pipelines.similarity import (
+        _PCA_QUANT,
+        q_embedding_pca,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    mat = np.asarray(t.column("embedding").to_pylist(), np.float64)
+    q = np.floor(mat * _PCA_QUANT + 0.5)
+    mu = q.mean(axis=0)
+    cov = (q.T @ q) / len(q) - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    w = evecs[:, order].T.copy()
+    for i in range(2):
+        j = int(np.argmax(np.abs(w[i])))
+        if w[i, j] < 0:
+            w[i] = -w[i]
+    want = (q - mu) @ w.T / _PCA_QUANT
+
+    got = q_embedding_pca(sf).to_pandas().sort_values("vec_id")
+    ids = t.column("vec_id").to_pylist()
+    order_idx = np.argsort(ids)
+    np.testing.assert_allclose(
+        got[["pc1", "pc2"]].to_numpy(), want[order_idx], atol=1e-9)
+    # projections onto orthonormal components preserve variance ordering
+    assert got["pc1"].var() >= got["pc2"].var() - 1e-12
