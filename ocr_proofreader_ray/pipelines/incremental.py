@@ -256,12 +256,20 @@ def q_dedup_incremental(sf_dir: str):
 
     res = dedup_increment(new, kept_old, work_dir, "inc-1")
 
-    old_ids = sorted(pa.concat_tables(
-        ray.get(kept_old.select_columns(["doc_id"]).to_arrow_refs()),
-        promote_options="default").column("doc_id").to_pylist())
-    new_ids = res["keep_ids"].to_pylist()
-    return pa.table({
-        "doc_id": pa.array(old_ids + new_ids, pa.int64()),
-        "phase": pa.array(["bootstrap"] * len(old_ids)
-                          + ["inc-1"] * len(new_ids), pa.string()),
-    })
+    # stream the (corpus-sized) keep list out as a Dataset — only the
+    # increment's keep ids (increment-sized by assumption) sit on the driver
+    def tag(phase: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "phase": pa.array([phase] * b.num_rows, pa.string()),
+            })
+        return fn
+
+    old_part = kept_old.select_columns(["doc_id"]).map_batches(
+        tag("bootstrap"), batch_format="pyarrow", zero_copy_batch=True)
+    new_part = ray.data.from_arrow(pa.table({
+        "doc_id": res["keep_ids"],
+        "phase": pa.array(["inc-1"] * len(res["keep_ids"]), pa.string()),
+    }))
+    return old_part.union(new_part)
