@@ -38,6 +38,7 @@ def all_queries() -> dict[str, Callable[[str], Any]]:
         incremental,
         multimodal,
         pdf,
+        prep,
         relational,
         similarity,
         text_analysis,

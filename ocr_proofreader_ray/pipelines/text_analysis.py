@@ -931,16 +931,20 @@ def q_mixture_sample(sf_dir: str):
     real-weights variant would ship the rate table via ray.put and look it
     up per batch — same shape.)"""
     ds = t(sf_dir, "documents", ["doc_id", "source"])
+    return ds.map_batches(mixture_pick, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
-    def pick(b: pa.Table) -> pa.Table:
-        # SQL substr(source, 4) is 1-based: codeunit offset 3
-        idx = pc.cast(pc.utf8_slice_codeunits(b.column("source"), 3, 32),
-                      pa.int64())
-        permille = pc.add(_pmod(pc.multiply(idx, 37), 900), 50)
-        keep = pc.less(_pmod(b.column("doc_id"), 1000), permille)
-        return b.filter(keep)
 
-    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+def mixture_pick(b: pa.Table) -> pa.Table:
+    """The systematic mixture rule as a reusable batch filter (keeps every
+    input column) — shared by q_mixture_sample and the composed prep
+    pipeline so the rule has one definition."""
+    # SQL substr(source, 4) is 1-based: codeunit offset 3
+    idx = pc.cast(pc.utf8_slice_codeunits(b.column("source"), 3, 32),
+                  pa.int64())
+    permille = pc.add(_pmod(pc.multiply(idx, 37), 900), 50)
+    keep = pc.less(_pmod(b.column("doc_id"), 1000), permille)
+    return b.filter(keep)
 
 
 def _pmod(col, m: int):
@@ -1060,7 +1064,15 @@ def q_source_cap(sf_dir: str, cap: int = _SOURCE_CAP,
     from ocr_proofreader_ray.ops.agg import grouped_top_k
 
     ds = t(sf_dir, "documents", ["doc_id", "source", "lang"])
-    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    # metadata-only row count; handles both a single file and a directory
+    # corpus (composed pipelines chain stages through written directories)
+    path = f"{sf_dir}/documents.parquet"
+    import os as _os
+    if _os.path.isdir(path):
+        n_docs = sum(_pq.read_metadata(frag).num_rows
+                     for frag in _pq.ParquetDataset(path).files)
+    else:
+        n_docs = _pq.read_metadata(path).num_rows
     if n_docs <= _CAP_DRIVER_MAX_DOCS and not force_shuffle:
         out = grouped_top_k(ds, ["source"], [("doc_id", "ascending")], cap)
         return out.select(["doc_id", "source", "lang"])
