@@ -1985,3 +1985,67 @@ def q_quantity_percentiles(sf_dir: str):
                 .append_column("cume", pa.array(cume, pa.float64()))
 
     return li.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register(
+    "q_latest_event",
+    sql="""
+    SELECT user_id, event_id, ts, event_type FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q_latest_event(sf_dir: str):
+    """Latest row per key (the recrawl pattern: keep the newest version of
+    each url/user) — window ``last_value`` semantics with a deterministic
+    tie-break, WITHOUT sorting any partition.
+
+    Plan: a combiner ``grouped_agg`` reduces events to max(ts) per user
+    (state = keys, not rows); rows stream through a semi-style broadcast
+    lookup keeping only ts == max(ts); a second bounded combiner resolves
+    ts ties to the min event_id; a final filter emits exactly one row per
+    key.  Two cheap aggregates + two streaming filters — at fact-sized
+    key cardinality both aggregates already support the Ray-final merge
+    and the lookup side switches to `shuffle_semi_anti`'s exchange (the
+    repo-wide size-gate family); at this corpus the broadcast plan wins."""
+    from ocr_proofreader_ray.ops.join import _fetch
+
+    ev = t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def arg_lookup(agg: pa.Table, val_name: str, val_np) -> tuple:
+        users = np.asarray(agg.column("user_id"), np.int64)
+        vals = val_np(agg.column(val_name))
+        order = np.argsort(users, kind="stable")
+        return users[order], vals[order]
+
+    def keep_equal(ref, value_col: str, val_np):
+        def fn(b: pa.Table) -> pa.Table:
+            users_s, vals_s = _fetch(ref)
+            if len(users_s) == 0:
+                return b.slice(0, 0)
+            u = np.asarray(b.column("user_id"), np.int64)
+            v = val_np(b.column(value_col))
+            idx = np.searchsorted(users_s, u)
+            idx = np.clip(idx, 0, len(users_s) - 1)
+            mask = (users_s[idx] == u) & (vals_s[idx] == v)
+            return b.filter(pa.array(mask))
+        return fn
+
+    def ts_np(col):
+        return np.asarray(pc.cast(pc.cast(col, pa.timestamp("us")),
+                                  pa.int64()))
+
+    def id_np(col):
+        return np.asarray(pc.cast(col, pa.int64()))
+
+    max_ts = grouped_agg(ev, ["user_id"], [("ts", "max", "max_ts")])
+    ts_ref = ray.put(arg_lookup(max_ts, "max_ts", ts_np))
+    at_max = ev.map_batches(keep_equal(ts_ref, "ts", ts_np),
+                            batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    min_id = grouped_agg(at_max, ["user_id"], [("event_id", "min", "min_id")])
+    id_ref = ray.put(arg_lookup(min_id, "min_id", id_np))
+    return at_max.map_batches(keep_equal(id_ref, "event_id", id_np),
+                              batch_format="pyarrow", zero_copy_batch=True)
