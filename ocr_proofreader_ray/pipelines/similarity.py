@@ -447,3 +447,87 @@ def q_embedding_pca(sf_dir: str, n_components: int = _PCA_COMPONENTS):
 
     return ds.map_batches(project, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# vector nearest-neighbor JOIN (entity matching between two vector sets)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_ann_join",
+    sql="""
+    SELECT vec_id, nn_vec_id, cos_micro FROM (
+      SELECT a_id AS vec_id, b_id AS nn_vec_id, cos_micro,
+             row_number() OVER (PARTITION BY a_id
+                                ORDER BY cos_micro DESC, b_id ASC) AS rn
+      FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               CAST(floor(
+                   list_dot_product(a.embedding, b.embedding)
+                   / (sqrt(list_dot_product(a.embedding, a.embedding))
+                      * sqrt(list_dot_product(b.embedding, b.embedding)))
+                   * 1000000 + 0.5) AS BIGINT) AS cos_micro
+        FROM embeddings a, embeddings b
+        WHERE a.label = 0 AND b.label = 1))
+    WHERE rn = 1
+    """,
+)
+def q_ann_join(sf_dir: str):
+    """Nearest-neighbor JOIN between two vector sets: for every label-0
+    vector, its single most-cosine-similar label-1 vector — the entity
+    matching / retrieval-augmentation shape (find each query's best match
+    in an index), distinct from top-k against one query.
+
+    Plan: the index side (label 1) reads with a pushdown filter and
+    broadcasts ONCE as a matrix sorted by vec_id (index-sized by
+    assumption — corpus x corpus matching is the LSH-bucketed
+    embedding-dedup plan, `q_dedup_embedding`); the query side streams,
+    each batch computing the (n_a, n_b) micro-cosine matrix with the
+    repo's bit-exact float32 sequential-dot contract and taking a
+    vectorized argmax (first occurrence = min vec_id tie-break, matching
+    the SQL window order).  No shuffle; query side never materializes."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    b_tab = pq.ParquetDataset(
+        f"{sf_dir}/embeddings.parquet",
+        filters=pads.field("label") == 1,
+    ).read(columns=["vec_id", "embedding"])
+    b_tab = b_tab.sort_by("vec_id")
+    b_ids = np.asarray(b_tab.column("vec_id"), np.int64)
+    b_mat = np.asarray(b_tab.column("embedding").to_pylist(), np.float32)
+    b_norm = np.sqrt(np.asarray(
+        [_f32_seq_dot(b_mat[i:i + 1], b_mat[i:i + 1])[0]
+         for i in range(len(b_mat))], np.float64))
+    bref = ray.put((b_ids, b_mat, b_norm))
+
+    a_ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filter=pads.field("label") == 0,
+    )
+
+    def nn(b: pa.Table) -> pa.Table:
+        ids_b, mat_b, norm_b = ray.get(bref)
+        mat_a = _batch_matrix(b)
+        n_a, d = mat_a.shape
+        # float32 products with sequential float32 accumulation across d —
+        # the same bit-exact contract as _f32_seq_dot, pairwise
+        acc = np.zeros((n_a, len(ids_b)), np.float32)
+        for j in range(d):
+            acc = (acc + np.outer(mat_a[:, j], mat_b[:, j])
+                   .astype(np.float32)).astype(np.float32)
+        norm_a = np.sqrt(_f32_seq_dot(mat_a, mat_a).astype(np.float64))
+        denom = np.outer(norm_a, norm_b)
+        denom[denom == 0] = 1.0
+        micro = np.floor(acc.astype(np.float64) / denom * 1_000_000 + 0.5
+                         ).astype(np.int64)
+        best = np.argmax(micro, axis=1)  # first occurrence = min vec_id tie
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "nn_vec_id": pa.array(ids_b[best], pa.int64()),
+            "cos_micro": pa.array(micro[np.arange(n_a), best], pa.int64()),
+        })
+
+    return a_ds.drop_columns(["label"]).map_batches(
+        nn, batch_format="pyarrow", zero_copy_batch=True)
