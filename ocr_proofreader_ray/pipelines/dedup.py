@@ -507,11 +507,12 @@ def _sim_scheme(corpus_size: int | None,
     return max_hamming + 3, 3
 
 
-def simhash_hamming_pairs(docs: "ray.data.Dataset",
+def simhash_hamming_pairs(docs: "ray.data.Dataset | None" = None,
                           max_hamming: int = _SIM_MAX_HAMMING,
                           corpus_size: int | None = None,
                           scheme: tuple[int, int] | None = None,
-                          star_cap: int = _STAR_BUCKET_CAP):
+                          star_cap: int = _STAR_BUCKET_CAP,
+                          fingerprints: "ray.data.Dataset | None" = None):
     """Near-dup pairs with hamming64(simhash_a, simhash_b) <= max_hamming.
 
     The standard band-table probe that turns SimHash into an actual near-dup
@@ -543,13 +544,19 @@ def simhash_hamming_pairs(docs: "ray.data.Dataset",
     combos = list(itertools.combinations(range(n_blocks), concat))
     n_tables = len(combos)
 
-    def nonempty(b: pa.Table) -> pa.Table:
-        txt = pc.fill_null(b.column("text"), "")
-        return b.filter(pc.not_equal(pc.utf8_trim_whitespace(txt), ""))
+    if fingerprints is not None:
+        # caller-supplied (doc_id, simhash int64) dataset — any 64-bit
+        # fingerprint family rides the same band machinery (e.g. image
+        # aHash in pipelines/multimodal.py)
+        fps = fingerprints
+    else:
+        def nonempty(b: pa.Table) -> pa.Table:
+            txt = pc.fill_null(b.column("text"), "")
+            return b.filter(pc.not_equal(pc.utf8_trim_whitespace(txt), ""))
 
-    fps = _simhash_fingerprints(
-        docs.map_batches(nonempty, batch_format="pyarrow",
-                         zero_copy_batch=True))
+        fps = _simhash_fingerprints(
+            docs.map_batches(nonempty, batch_format="pyarrow",
+                             zero_copy_batch=True))
 
     def to_bands(b: pa.Table) -> pa.Table:
         sims = b.column("simhash").to_numpy(zero_copy_only=False)

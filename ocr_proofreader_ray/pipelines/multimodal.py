@@ -114,3 +114,55 @@ def q_video_frames(sf_dir: str):
         FrameSampleStage, fn_constructor_args=(4,),
         batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE,
         concurrency=(1, 4), num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# image perceptual-hash near-dup (aHash + the shared Hamming band machinery)
+# ---------------------------------------------------------------------------
+
+def _ahash_batch(b: pa.Table) -> pa.Table:
+    """8x8 thumbnail bytes -> 64-bit average-hash fingerprint (bit i set
+    iff pixel i is above the thumbnail mean — the classic aHash)."""
+    import numpy as np
+
+    ids, fps = [], []
+    for doc_id, thumb in zip(b.column("doc_id").to_pylist(),
+                             b.column("thumbnail").to_pylist()):
+        px = np.frombuffer(thumb, np.uint8).astype(np.float64)
+        bits = px > px.mean()
+        fp = np.uint64(0)
+        for bit in bits:  # 64 iterations, branch-free fold
+            fp = (fp << np.uint64(1)) | np.uint64(bool(bit))
+        ids.append(doc_id)
+        fps.append(int(fp.astype(np.int64)))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "simhash": pa.array(fps, pa.int64()),
+    })
+
+
+@register("q_media_phash_dups")  # sketch-based: rows-only driver check
+def q_media_phash_dups(sf_dir: str, max_hamming: int = 6):
+    """Near-duplicate IMAGES by perceptual hash: aHash over the decoded
+    8x8 thumbnails, paired with the exact same corpus-width-derived
+    Hamming band machinery the text SimHash dedup uses
+    (``dedup.simhash_hamming_pairs(fingerprints=...)``) — multimodal
+    dedup composes from the text-dedup primitives, nothing new shuffles.
+    Synthetic corpora rarely collide (0 rows is legitimate, like
+    q_dedup_embedding); the planted-pair pytest pins recall."""
+    from ocr_proofreader_ray.pipelines.dedup import simhash_hamming_pairs
+
+    ds = media_dataset(sf_dir)
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), "image")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        ImageFeatureStage, fn_constructor_args=(8, True),
+        batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, 4), num_cpus=1)
+    fps = ds.select_columns(["doc_id", "thumbnail"]).map_batches(
+        _ahash_batch, batch_format="pyarrow", zero_copy_batch=True)
+    n_images = fps.materialize().count()
+    return simhash_hamming_pairs(max_hamming=max_hamming,
+                                 corpus_size=n_images,
+                                 fingerprints=fps)

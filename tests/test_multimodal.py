@@ -183,3 +183,44 @@ def test_audio_features_query_via_ray(ray_session):
     assert rows and all(r["duration_ms"] > 0 for r in rows)
     # audio kind = doc_id % 3 == 1
     assert all(r["doc_id"] % 3 == 1 for r in rows)
+
+
+def test_ahash_planted_near_dup_pair(ray_session):
+    import numpy as np
+
+    import ray
+
+    from ocr_proofreader_ray.pipelines.dedup import simhash_hamming_pairs
+    from ocr_proofreader_ray.pipelines.multimodal import _ahash_batch
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, size=64, dtype=np.uint8)
+    near = base.copy()
+    # flip two pixels across the mean -> hamming 2 between aHashes
+    m = base.mean()
+    above = np.where(base > m)[0]
+    below = np.where(base <= m)[0]
+    near[above[0]] = 0
+    near[below[0]] = 255
+    other = rng.integers(0, 256, size=64, dtype=np.uint8)
+
+    tab = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "thumbnail": pa.array([base.tobytes(), near.tobytes(),
+                               other.tobytes()], pa.binary()),
+    })
+    fps = ray.data.from_arrow(_ahash_batch(tab))
+    pairs = simhash_hamming_pairs(max_hamming=6, corpus_size=3,
+                                  fingerprints=fps)
+    got = {(a, b) for a, b in zip(pairs.column("doc_a").to_pylist(),
+                                  pairs.column("doc_b").to_pylist())}
+    assert (1, 2) in got
+    assert all(p in {(1, 2)} or 3 not in p for p in got)
+
+
+def test_media_phash_dups_runs_clean_corpus(ray_session):
+    from ocr_proofreader_ray.pipelines.multimodal import q_media_phash_dups
+
+    out = q_media_phash_dups("/root/testdata/sf0.001")
+    n = out.num_rows if hasattr(out, "num_rows") else out.count()
+    assert n == 0  # synthetic corpus has no near-identical images
