@@ -2049,3 +2049,113 @@ def q_latest_event(sf_dir: str):
     id_ref = ray.put(arg_lookup(min_id, "min_id", id_np))
     return at_max.map_batches(keep_equal(id_ref, "event_id", id_np),
                               batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register(
+    "q_csv_source_roundtrip",
+    sql="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_csv_source_roundtrip(sf_dir: str):
+    """CSV source path (B1 source breadth): the customer table exported to
+    CSV once per run, re-read with ``ray.data.read_csv``, and aggregated —
+    proving the engine's source surface is not parquet-only and that the
+    CSV round trip is value-exact (the cents quantization happens after
+    the re-read, so any CSV float drift would fail the oracle hash)."""
+    import os
+    import shutil
+
+    out = os.path.join("/tmp/opr_csv_src",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    marker = os.path.join(out, "_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        t(sf_dir, "customer", ["c_mktsegment", "c_acctbal"]) \
+            .write_csv(os.path.join(out, "customer.csv"))
+        open(marker, "w").close()
+
+    ds = ray.data.read_csv(os.path.join(out, "customer.csv"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": b.column("c_mktsegment"),
+            "cents": to_units(pc.cast(b.column("c_acctbal"), pa.float64()),
+                              100),
+        })
+
+    return grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["c_mktsegment"], [(None, "count", "n"), ("cents", "sum", "bal_cents")])
+
+
+@register(
+    "q_winsorized_prices",
+    sql="""
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+    ), bounds AS (
+      SELECT l_returnflag,
+             quantile_disc(c, 0.01) AS lo, quantile_disc(c, 0.99) AS hi
+      FROM cents GROUP BY l_returnflag
+    )
+    SELECT cents.l_returnflag, count(*) AS n,
+           CAST(sum(LEAST(GREATEST(c, lo), hi)) AS BIGINT)
+               AS winsorized_cents
+    FROM cents JOIN bounds ON cents.l_returnflag = bounds.l_returnflag
+    GROUP BY cents.l_returnflag
+    """,
+)
+def q_winsorized_prices(sf_dir: str):
+    """Winsorized aggregate (outlier-robust statistics): per return flag,
+    the price sum with values clipped to that group's exact [p01, p99] —
+    the standard robust-mean prep before fitting on noisy web data.
+
+    Composition of existing primitives: the two clip thresholds per group
+    are EXACT order statistics from ``grouped_kth_smallest`` (rank =
+    ceil(n*q), the pinned quantile_disc semantics); rows then stream
+    through one vectorized clamp + the usual combiner sum — integer cents
+    end-to-end, so the distributed sum is order-invariant and
+    hash-exact."""
+    from ocr_proofreader_ray.ops.join import _fetch
+    from ocr_proofreader_ray.ops.selection import grouped_kth_smallest
+
+    li = t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "c": to_units(b.column("l_extendedprice"), 100),
+        })
+
+    ds = li.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    sizes = grouped_agg(ds, ["l_returnflag"], [(None, "count", "n")])
+    ranks = {g: [-(-int(n) * q // 100) for q in (1, 99)]
+             for g, n in zip(sizes.column("l_returnflag").to_pylist(),
+                             sizes.column("n").to_pylist())}
+    bounds = grouped_kth_smallest(ds, "l_returnflag", "c", ranks)
+    ref = ray.put({g: (int(v[0]), int(v[1])) for g, v in bounds.items()})
+
+    def clamp(b: pa.Table) -> pa.Table:
+        m = _fetch(ref)
+        flags = b.column("l_returnflag").to_pandas().to_numpy()
+        c = np.asarray(b.column("c"), np.int64).copy()
+        for g, (lo, hi) in m.items():
+            mask = flags == g
+            c[mask] = np.clip(c[mask], lo, hi)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "w": pa.array(c, pa.int64()),
+        })
+
+    clipped = ds.map_batches(clamp, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return grouped_agg(clipped, ["l_returnflag"],
+                       [(None, "count", "n"), ("w", "sum", "winsorized_cents")])
