@@ -2159,3 +2159,127 @@ def q_winsorized_prices(sf_dir: str):
                              zero_copy_batch=True)
     return grouped_agg(clipped, ["l_returnflag"],
                        [(None, "count", "n"), ("w", "sum", "winsorized_cents")])
+
+
+@register(
+    "q_price_histogram",
+    sql="""
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+    ), s AS (SELECT min(c) AS lo, max(c) AS hi FROM cents)
+    SELECT l_returnflag,
+           CAST(LEAST((c - lo) * 20 // (hi - lo + 1), 19) AS BIGINT) AS bin,
+           count(*) AS n
+    FROM cents, s GROUP BY l_returnflag, bin
+    """,
+)
+def q_price_histogram(sf_dir: str, bins: int = 20):
+    """Equi-width histogram per group (the dashboard / distribution-shift
+    primitive): 20 bins over the GLOBAL price range, counted per return
+    flag.
+
+    Two passes, both bounded: a global min/max aggregate (two ints), then
+    a combiner count over (flag, bin) — merged state is groups x bins at
+    any corpus size.  Bin math is pure integer arithmetic
+    ((c - lo) * bins // (hi - lo + 1)), identical in both engines."""
+    li = t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "c": to_units(b.column("l_extendedprice"), 100),
+        })
+
+    cents = li.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    span = cents.aggregate(Min("c"), Max("c"))
+    lo, hi = int(span["min(c)"]), int(span["max(c)"])
+    width_den = hi - lo + 1
+
+    def to_bin(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("c"), np.int64)
+        bin_ = np.minimum((c - lo) * bins // width_den, bins - 1)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "bin": pa.array(bin_, pa.int64()),
+        })
+
+    binned = cents.map_batches(to_bin, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return grouped_agg(binned, ["l_returnflag", "bin"],
+                       [(None, "count", "n")])
+
+
+@register(
+    "q_data_quality_audit",
+    sql="""
+    SELECT 'rows' AS chk, count(*) AS v FROM orders
+    UNION ALL SELECT 'null_custkey',
+        count(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+    UNION ALL SELECT 'null_orderdate',
+        count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+    UNION ALL SELECT 'negative_totalprice',
+        count(*) FILTER (WHERE o_totalprice < 0) FROM orders
+    UNION ALL SELECT 'duplicate_orderkeys',
+        count(*) - count(DISTINCT o_orderkey) FROM orders
+    """,
+)
+def q_data_quality_audit(sf_dir: str):
+    """Data-quality audit (the validation stage every ingest pipeline runs
+    before training): row count, per-column null counts, range violations,
+    and key-uniqueness violations as one (chk, v) metric table.
+
+    Scalar checks are ONE combiner pass (per-batch is_null / comparison
+    sums -> a one-row merge).  Uniqueness is the only check that needs the
+    key space: distinct count via the per-batch-distinct + Ray-final
+    groupby (the q_count_distinct_users plan), so only distinct keys
+    shuffle and the driver sees a scalar."""
+    orders = t(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "rows": pa.array([b.num_rows], pa.int64()),
+            "null_custkey": pa.array(
+                [pc.sum(pc.cast(pc.is_null(b.column("o_custkey")),
+                                pa.int64())).as_py() or 0], pa.int64()),
+            "null_orderdate": pa.array(
+                [pc.sum(pc.cast(pc.is_null(b.column("o_orderdate")),
+                                pa.int64())).as_py() or 0], pa.int64()),
+            "negative_totalprice": pa.array(
+                [pc.sum(pc.cast(pc.fill_null(pc.less(
+                    b.column("o_totalprice"), 0.0), False),
+                    pa.int64())).as_py() or 0], pa.int64()),
+            "one": pa.array([1], pa.int8()),
+        })
+
+    merged = grouped_agg(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["one"],
+        [("rows", "sum", "rows"),
+         ("null_custkey", "sum", "null_custkey"),
+         ("null_orderdate", "sum", "null_orderdate"),
+         ("negative_totalprice", "sum", "negative_totalprice")])
+    n_rows = int(merged.column("rows")[0].as_py())
+
+    # exact distinct keys: per-batch distinct partials, Ray-final groupby —
+    # only distinct keys shuffle, the driver sees the scalar count
+    distinct_keys = grouped_agg(
+        orders.select_columns(["o_orderkey"]),
+        ["o_orderkey"], [(None, "count", "c")], final="ray").count()
+
+    checks = [
+        ("rows", n_rows),
+        ("null_custkey", int(merged.column("null_custkey")[0].as_py())),
+        ("null_orderdate", int(merged.column("null_orderdate")[0].as_py())),
+        ("negative_totalprice",
+         int(merged.column("negative_totalprice")[0].as_py())),
+        ("duplicate_orderkeys", n_rows - int(distinct_keys)),
+    ]
+    return pa.table({
+        "chk": pa.array([c for c, _ in checks], pa.string()),
+        "v": pa.array([v for _, v in checks], pa.int64()),
+    })
