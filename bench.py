@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "q_ordered_orders",
     "q_dedup_incremental",
     "q_events_resampled",
+    "q_price_quartiles",
+    "q_bm25_topk",
+    "q_embedding_pca",
 ]
 
 

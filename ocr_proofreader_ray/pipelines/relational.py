@@ -2283,3 +2283,92 @@ def q_data_quality_audit(sf_dir: str):
         "chk": pa.array([c for c, _ in checks], pa.string()),
         "v": pa.array([v for _, v in checks], pa.int64()),
     })
+
+
+def _dist_is_1(a: str, b: str) -> bool:
+    """Exact Levenshtein == 1 (substitution or single indel — NO
+    transposition, matching SQL levenshtein semantics)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if abs(la - lb) != 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # a is shorter: b minus one char == a
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+@register(
+    "q_fuzzy_name_pairs",
+    sql="""
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b
+    FROM customer a, customer b
+    WHERE a.c_custkey < b.c_custkey
+      AND levenshtein(a.c_name, b.c_name) = 1
+    """,
+)
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Fuzzy string self-join: all customer pairs whose names are exactly
+    one edit apart — the entity-resolution / near-duplicate-record shape.
+
+    The quadratic cross join collapses with SymSpell delete-variant
+    blocking (public knowledge): every name emits itself plus its len(s)
+    single-deletion variants as blocking keys; any two strings within
+    edit distance 1 share at least one key, so candidate pairs live
+    inside tiny key buckets (names identical except one position).  One
+    coarse-partitioned groupby generates and VERIFIES pairs in place —
+    names ride with the band rows, so no join, no broadcast; exactness
+    comes from the in-bucket Levenshtein==1 check.  Pairs found via
+    several keys dedup through the usual combiner."""
+    cust = t(sf_dir, "customer", ["c_custkey", "c_name"])
+    n_parts = 64
+
+    def block(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ids_in = b.column("c_custkey").to_pylist()
+        names_in = b.column("c_name").to_pylist()
+        ids, names, keys = [], [], []
+        for cid, name in zip(ids_in, names_in):
+            name = name or ""
+            variants = [name] + [name[:i] + name[i + 1:]
+                                 for i in range(len(name))]
+            ids.extend([cid] * len(variants))
+            names.extend([name] * len(variants))
+            keys.extend(variants)
+        h = pl.Series(keys).hash(seed=7).to_numpy()
+        return pa.table({
+            "c_custkey": pa.array(ids, pa.int64()),
+            "c_name": pa.array(names, pa.string()),
+            "key": pa.array(keys, pa.string()),
+            "part": pa.array((h % n_parts).astype(np.int32)),
+        })
+
+    blocked = cust.map_batches(block, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        dup = g[g.duplicated("key", keep=False)]
+        for _, grp in dup.groupby("key", sort=False):
+            sub = grp.drop_duplicates("c_custkey")
+            ids = sub["c_custkey"].to_numpy()
+            names = sub["c_name"].to_numpy()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if _dist_is_1(names[i], names[j]):
+                        lo, hi = sorted((int(ids[i]), int(ids[j])))
+                        out_a.append(lo)
+                        out_b.append(hi)
+        return pd.DataFrame({"custkey_a": out_a, "custkey_b": out_b},
+                            dtype="int64").drop_duplicates()
+
+    pairs = blocked.groupby("part").map_groups(part_pairs,
+                                               batch_format="pandas")
+    deduped = grouped_agg(pairs, ["custkey_a", "custkey_b"],
+                          [(None, "count", "c")])
+    return deduped.select(["custkey_a", "custkey_b"])
