@@ -1548,3 +1548,38 @@ def q_bm25_topk(sf_dir: str, query: tuple = _BM25_QUERY, k: int = 10):
     scored = docs.map_batches(score, batch_format="pyarrow",
                               zero_copy_batch=True)
     return top_k(scored, [("score", "descending"), ("doc_id", "ascending")], k)
+
+
+@register(
+    "q_train_val_test",
+    sql="""
+    SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+                WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+           lang, count(*) AS n
+    FROM documents GROUP BY split, lang
+    """,
+)
+def q_train_val_test(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split (systematic key rule,
+    like the mixture sampler: reproducible on any engine, any cluster
+    shape, and a resumed job re-assigns identical rows) — reported as the
+    per-(split, lang) count matrix.
+
+    Pure vectorized assignment inside the scan + a (splits x langs)-bounded
+    combiner; materializing the actual split corpora is the same filter
+    composed with write_parquet (the prep-pipeline stage shape)."""
+    import numpy as np
+
+    docs = t(sf_dir, "documents", ["doc_id", "lang"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        mod = np.asarray(b.column("doc_id"), np.int64) % 10
+        split = np.select([mod < 8, mod == 8], ["train", "val"], "test")
+        return pa.table({
+            "split": pa.array(split, pa.string()),
+            "lang": b.column("lang"),
+        })
+
+    return grouped_agg(
+        docs.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
+        ["split", "lang"], [(None, "count", "n")])
