@@ -2372,3 +2372,49 @@ def q_fuzzy_name_pairs(sf_dir: str):
     deduped = grouped_agg(pairs, ["custkey_a", "custkey_b"],
                           [(None, "count", "c")])
     return deduped.select(["custkey_a", "custkey_b"])
+
+
+@register(
+    "q_partition_pruned_read",
+    sql="""
+    SELECT user_id, count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events WHERE event_type = 'click' GROUP BY user_id
+    """,
+)
+def q_partition_pruned_read(sf_dir: str):
+    """Hive-partitioned layout + prune-at-read (B1/B16): the events table
+    is written ONCE per run partitioned by event_type
+    (``write_parquet(partition_cols=...)`` — one directory per value, the
+    resumable-output layout the brief mandates), and the query then reads
+    ONLY the ``event_type=click`` directory — the other four partitions
+    never leave storage.  At 100 TB this is the difference between
+    scanning a fifth of the table and all of it."""
+    import os
+    import shutil
+
+    root = os.path.join("/tmp/opr_part_events",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    marker = os.path.join(root, "_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        t(sf_dir, "events", ["event_type", "user_id", "value"]) \
+            .write_parquet(os.path.join(root, "events"),
+                           partition_cols=["event_type"])
+        open(marker, "w").close()
+
+    ds = ray.data.read_parquet(
+        os.path.join(root, "events", "event_type=click"),
+        columns=["user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "cents": to_units(pc.cast(b.column("value"), pa.float64()), 100),
+        })
+
+    return grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [(None, "count", "n"), ("cents", "sum", "value_cents")])

@@ -105,3 +105,22 @@ def test_bloom_never_false_negative(keys):
     arr = pa.array(np.asarray(keys, dtype=np.int64))
     f.add_column(arr)
     assert f.contains_column(arr).all()
+
+
+def _levenshtein_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(st.text(alphabet="ab#", max_size=6), st.text(alphabet="ab#", max_size=6))
+@settings(**_SETTINGS)
+def test_dist_is_1_matches_levenshtein_dp(a, b):
+    from ocr_proofreader_ray.pipelines.relational import _dist_is_1
+
+    assert _dist_is_1(a, b) == (_levenshtein_ref(a, b) == 1)
