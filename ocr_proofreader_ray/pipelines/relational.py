@@ -2418,3 +2418,50 @@ def q_partition_pruned_read(sf_dir: str):
     return grouped_agg(
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         ["user_id"], [(None, "count", "n"), ("cents", "sum", "value_cents")])
+
+
+@register("q_approx_overlap_users")  # sketch estimate: rows-only check
+def q_approx_overlap_users(sf_dir: str):
+    """Approximate audience-overlap via HLL inclusion-exclusion: the
+    estimated number of users who BOTH clicked and purchased, from three
+    4 KiB mergeable sketches (|A∩B| ≈ |A| + |B| - |A∪B|, where the union
+    sketch is the elementwise max of the two) — the classic no-shuffle
+    plan for set overlap across corpus-sized key sets.  Exact overlap for
+    the same inputs is the semi-join plan; the test pins the estimate
+    within HLL error of exact."""
+    from ocr_proofreader_ray.functions import hll
+
+    ds = t(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        users = b.column("user_id").to_numpy(zero_copy_only=False)
+        types = b.column("event_type").to_numpy(zero_copy_only=False)
+        out = []
+        for et in ("click", "purchase"):
+            regs = hll.empty_registers()
+            hll.add_int_keys(regs, users[types == et].astype(np.uint64))
+            out.append(regs.tobytes())
+        return pa.table({"which": pa.array(["click", "purchase"]),
+                         "registers": pa.array(out, pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    merged = {"click": hll.empty_registers(),
+              "purchase": hll.empty_registers()}
+    from ocr_proofreader_ray.ops.agg import _arrow_blocks
+
+    for blk in _arrow_blocks(parts):
+        for which, regs in zip(blk.column("which").to_pylist(),
+                               blk.column("registers").to_pylist()):
+            merged[which] = hll.merge(
+                merged[which], np.frombuffer(regs, np.uint8))
+    union = hll.merge(merged["click"], merged["purchase"])
+    est_a = hll.estimate(merged["click"])
+    est_b = hll.estimate(merged["purchase"])
+    est_u = hll.estimate(union)
+    return pa.table({
+        "clicked_est": pa.array([int(round(est_a))], pa.int64()),
+        "purchased_est": pa.array([int(round(est_b))], pa.int64()),
+        "overlap_est": pa.array([int(round(est_a + est_b - est_u))],
+                                pa.int64()),
+    })

@@ -48,3 +48,25 @@ def test_query_vs_exact(ray_session):
     assert set(approx) == set(exact)
     for et in exact:
         assert approx[et] == pytest.approx(exact[et], rel=0.06), et
+
+
+def test_overlap_estimate_within_hll_error(ray_session):
+    import duckdb
+
+    from ocr_proofreader_ray.pipelines.relational import (
+        q_approx_overlap_users,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = q_approx_overlap_users(sf)
+    exact = duckdb.sql(f"""
+        SELECT count(*) FROM (
+          SELECT user_id FROM read_parquet('{sf}/events.parquet')
+          WHERE event_type = 'click'
+          INTERSECT
+          SELECT user_id FROM read_parquet('{sf}/events.parquet')
+          WHERE event_type = 'purchase')
+    """).fetchone()[0]
+    est = got.column("overlap_est")[0].as_py()
+    # inclusion-exclusion compounds the ~1.6% HLL error of three sketches
+    assert abs(est - exact) <= max(10, 0.1 * exact)
