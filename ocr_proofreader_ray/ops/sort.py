@@ -16,10 +16,12 @@ rank.  No driver-side sort of the data, no single-node bottleneck:
 - exchange: the only all-to-all; each group sorts its own range and adds
   its broadcast offset.
 
-Keys must be int64 and UNIQUE (callers pack tie-breaks into the key — the
-same (value << k) | id packing as q_ntile_customers); descending orders are
-expressed by negating the packed key.  Uniqueness makes the permutation —
-and therefore every output position — deterministic at any parallelism.
+Keys must be UNIQUE (callers pack tie-breaks into the key — the same
+(value << k) | id packing as q_ntile_customers) and either int64 or
+string (strings compare in codepoint order, matching SQL binary
+collation); descending int orders are expressed by negating the packed
+key.  Uniqueness makes the permutation — and therefore every output
+position — deterministic at any parallelism.
 """
 
 from __future__ import annotations
@@ -29,11 +31,22 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from ocr_proofreader_ray.functions.bloom import _mix64
+from ocr_proofreader_ray.functions.bloom import _key_hash64
 from ocr_proofreader_ray.ops.agg import grouped_agg
 from ocr_proofreader_ray.ops.join import _derive_num_partitions, _fetch
 
 _SAMPLE_MAX = 100_000
+
+
+def _key_np(col) -> np.ndarray:
+    """Key column -> comparable numpy array (int64 fast path; strings as
+    object arrays — python str comparisons are codepoint order, matching
+    SQL binary collation)."""
+    if pa.types.is_integer(col.type):
+        return np.asarray(pc.cast(col, pa.int64()))
+    # fixed-width unicode keeps numpy comparisons vectorized (object
+    # arrays would fall back to per-element python compares)
+    return col.to_pandas().to_numpy().astype(str)
 
 
 def global_sort_position(
@@ -60,7 +73,7 @@ def global_sort_position(
 
     def assign(b: pa.Table) -> pa.Table:
         bv = _fetch(bref)
-        keys = np.asarray(pc.cast(b.column(key_col), pa.int64()))
+        keys = _key_np(b.column(key_col))
         part = np.searchsorted(bv, keys, side="right")
         return b.append_column("__part", pa.array(part, pa.int64()))
 
@@ -81,7 +94,7 @@ def global_sort_position(
     def sort_range(g: pa.Table) -> pa.Table:
         offs = _fetch(oref)
         part = g.column("__part")[0].as_py()
-        keys = np.asarray(pc.cast(g.column(key_col), pa.int64()))
+        keys = _key_np(g.column(key_col))
         order = np.argsort(keys, kind="stable")
         g = g.take(pa.array(order)).drop_columns(["__part"])
         pos = offs[part] + np.arange(1, len(order) + 1, dtype=np.int64)
@@ -102,13 +115,18 @@ def _sample_boundaries(ds, key_col: str, total: int, num_partitions: int,
     thresh = np.uint64(min(int(rate * 2**64), 2**64 - 1))
 
     def sample(b: pa.Table) -> pa.Table:
-        keys = np.asarray(pc.cast(b.column(key_col), pa.int64()))
-        keep = _mix64(keys.view(np.uint64)) <= thresh
-        return pa.table({"k": pa.array(keys[keep], pa.int64())})
+        col = b.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keep = _key_hash64(col) <= thresh
+        return pa.table({"k": col.filter(pa.array(keep))})
 
     sampled = ds.map_batches(sample, batch_format="pyarrow",
                              zero_copy_batch=True).take_all()
-    keys = np.sort(np.array([r["k"] for r in sampled], np.int64))
+    vals = [r["k"] for r in sampled]
+    # inferred dtype: int64 for ints, fixed-width unicode for strings —
+    # both keep the per-batch searchsorted fully vectorized
+    keys = np.sort(np.array(vals)) if vals else np.empty(0, np.int64)
     if len(keys) < num_partitions:
         return np.unique(keys)
     idx = (np.arange(1, num_partitions) * len(keys)) // num_partitions

@@ -2465,3 +2465,22 @@ def q_approx_overlap_users(sf_dir: str):
         "overlap_est": pa.array([int(round(est_a + est_b - est_u))],
                                 pa.int64()),
     })
+
+
+@register(
+    "q_ordered_customers",
+    sql="""
+    SELECT c_custkey, c_name,
+           CAST(row_number() OVER (ORDER BY c_name) AS BIGINT) AS pos
+    FROM customer
+    """,
+)
+def q_ordered_customers(sf_dir: str):
+    """Global sort on a STRING key (B9+): every customer ranked by name —
+    the same sample-based range-partitioned plan as q_ordered_orders, with
+    string range boundaries (codepoint comparisons match SQL binary
+    collation) and the unique name itself as the key."""
+    from ocr_proofreader_ray.ops.sort import global_sort_position
+
+    cust = t(sf_dir, "customer", ["c_custkey", "c_name"])
+    return global_sort_position(cust, "c_name", position_name="pos")

@@ -41,3 +41,19 @@ def test_tiny_input_fewer_boundaries(ray_session):
     out = _run([3, -8, 12], num_partitions=16, blocks=1)
     assert out["k"].tolist() == [-8, 3, 12]
     assert out["pos"].tolist() == [1, 2, 3]
+
+
+def test_string_keys_sort_and_rank(ray_session):
+    words = [f"k{idx:04d}x{idx % 7}" for idx in range(300)]
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(300)
+    t = pa.table({
+        "k": pa.array([words[i] for i in perm], pa.string()),
+        "v": pa.array([int(i) for i in perm], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = global_sort_position(ds, "k", position_name="pos",
+                               num_partitions=5, sample_max=40).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == sorted(words)
+    assert out["pos"].tolist() == list(range(1, 301))
