@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "q_price_quartiles",
     "q_bm25_topk",
     "q_embedding_pca",
+    "q_fuzzy_name_pairs",
+    "q_llm_prep_corpus",
 ]
 
 
