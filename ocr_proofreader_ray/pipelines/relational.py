@@ -2484,3 +2484,70 @@ def q_ordered_customers(sf_dir: str):
 
     cust = t(sf_dir, "customer", ["c_custkey", "c_name"])
     return global_sort_position(cust, "c_name", position_name="pos")
+
+
+@register(
+    "q_price_mad",
+    sql="""
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+    ), med AS (
+      SELECT l_returnflag, quantile_disc(c, 0.5) AS median_cents
+      FROM cents GROUP BY l_returnflag
+    )
+    SELECT cents.l_returnflag, median_cents,
+           quantile_disc(abs(c - median_cents), 0.5) AS mad_cents
+    FROM cents JOIN med USING (l_returnflag)
+    GROUP BY cents.l_returnflag, median_cents
+    """,
+)
+def q_price_mad(sf_dir: str):
+    """Median absolute deviation per group — the robust dispersion
+    statistic (median of |x - median|), exact at any scale via TWO
+    ``grouped_kth_smallest`` passes: the group medians broadcast (a few
+    ints), rows stream through one |x - med| map, and the second
+    selection runs over the derived values.  quantile_disc rank
+    semantics (ceil(n*q)) on both engines; integer cents end-to-end."""
+    from ocr_proofreader_ray.ops.join import _fetch
+    from ocr_proofreader_ray.ops.selection import grouped_kth_smallest
+
+    li = t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "c": to_units(b.column("l_extendedprice"), 100),
+        })
+
+    ds = li.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    sizes = grouped_agg(ds, ["l_returnflag"], [(None, "count", "n")])
+    ranks = {g: [-(-int(n) * 50 // 100)]
+             for g, n in zip(sizes.column("l_returnflag").to_pylist(),
+                             sizes.column("n").to_pylist())}
+    med = {g: int(v[0])
+           for g, v in grouped_kth_smallest(ds, "l_returnflag", "c",
+                                            ranks).items()}
+    mref = ray.put(med)
+
+    def abs_dev(b: pa.Table) -> pa.Table:
+        m = _fetch(mref)
+        flags = b.column("l_returnflag").to_pandas().to_numpy()
+        c = np.asarray(b.column("c"), np.int64).copy()
+        for g, mv in m.items():
+            mask = flags == g
+            c[mask] = np.abs(c[mask] - mv)
+        return pa.table({"l_returnflag": b.column("l_returnflag"),
+                         "d": pa.array(c, pa.int64())})
+
+    dev = ds.map_batches(abs_dev, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    mad = grouped_kth_smallest(dev, "l_returnflag", "d", ranks)
+    flags = sorted(med)
+    return pa.table({
+        "l_returnflag": pa.array(flags, pa.string()),
+        "median_cents": pa.array([med[f] for f in flags], pa.int64()),
+        "mad_cents": pa.array([int(mad[f][0]) for f in flags], pa.int64()),
+    })
