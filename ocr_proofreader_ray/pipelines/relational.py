@@ -2551,3 +2551,49 @@ def q_price_mad(sf_dir: str):
         "median_cents": pa.array([med[f] for f in flags], pa.int64()),
         "mad_cents": pa.array([int(mad[f][0]) for f in flags], pa.int64()),
     })
+
+
+@register(
+    "q_funnel_users",
+    sql="""
+    SELECT count(*) AS n_funnel_users FROM (
+      SELECT user_id FROM events GROUP BY user_id
+      HAVING min(CASE WHEN event_type = 'click' THEN ts END)
+           < max(CASE WHEN event_type = 'purchase' THEN ts END))
+    """,
+)
+def q_funnel_users(sf_dir: str):
+    """Funnel analysis: users whose first click precedes their last
+    purchase (click -> purchase conversion).  Conditional aggregates as
+    masked columns (null outside the event type; pyarrow min/max skip
+    nulls), merged per user through the combiner with the Ray-final
+    groupby — only (user, two timestamps) rows shuffle — then a streaming
+    comparison filter and a metadata count.  Null comparisons (users
+    missing either event) drop in the filter, matching SQL HAVING."""
+    ev = t(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        ts = pc.cast(b.column("ts"), pa.timestamp("us"))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "click_ts": pc.if_else(pc.equal(et, "click"), ts,
+                                   pa.nulls(b.num_rows, pa.timestamp("us"))),
+            "purch_ts": pc.if_else(pc.equal(et, "purchase"), ts,
+                                   pa.nulls(b.num_rows, pa.timestamp("us"))),
+        })
+
+    merged = grouped_agg(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        [("click_ts", "min", "first_click"),
+         ("purch_ts", "max", "last_purchase")], final="ray")
+
+    def keep_converted(b: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.less(b.column("first_click"),
+                                    b.column("last_purchase")), False)
+        return b.filter(mask)
+
+    n = merged.map_batches(keep_converted, batch_format="pyarrow",
+                           zero_copy_batch=True).count()
+    return pa.table({"n_funnel_users": pa.array([n], pa.int64())})
