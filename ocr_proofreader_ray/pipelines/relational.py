@@ -2597,3 +2597,53 @@ def q_funnel_users(sf_dir: str):
     n = merged.map_batches(keep_converted, batch_format="pyarrow",
                            zero_copy_batch=True).count()
     return pa.table({"n_funnel_users": pa.array([n], pa.int64())})
+
+
+@register(
+    "q_retention_cohorts",
+    sql="""
+    WITH first_day AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    )
+    SELECT cohort, day, count(*) AS n_active
+    FROM activity JOIN first_day USING (user_id)
+    GROUP BY cohort, day
+    """,
+)
+def q_retention_cohorts(sf_dir: str):
+    """Retention cohort matrix: users bucketed by their first-seen day,
+    counted on every day they were active — the standard growth-analytics
+    artifact, composed from three primitives:
+
+    1. cohort assignment: per-user min activity day (combiner + Ray-final
+       groupby — user cardinality is corpus-sized, so the merge stays
+       distributed);
+    2. distinct (user, day) activity via the same machinery;
+    3. both corpus-sized sides meet in ONE hash-partition exchange
+       (``shuffle_join`` on user), and the (cohort, day) count that
+       follows is a days²-bounded combiner.
+    The driver only ever sees the final matrix."""
+    ev = t(sf_dir, "events", ["user_id", "ts"])
+
+    def day_col(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "day": pc.floor_temporal(
+                pc.cast(b.column("ts"), pa.timestamp("us")), unit="day"),
+        })
+
+    days = ev.map_batches(day_col, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    first_day = grouped_agg(days, ["user_id"], [("day", "min", "cohort")],
+                            final="ray")
+    activity = grouped_agg(days, ["user_id", "day"],
+                           [(None, "count", "c")], final="ray")
+    activity = activity.map_batches(
+        lambda b: b.drop_columns(["c"]).rename_columns(["uid", "day"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = shuffle_join(activity, first_day,
+                          on=("uid",), right_on=("user_id",))
+    return grouped_agg(joined, ["cohort", "day"], [(None, "count", "n_active")])
