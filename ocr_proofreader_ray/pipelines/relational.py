@@ -2051,6 +2051,26 @@ def q_latest_event(sf_dir: str):
                               batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _source_fingerprint(path: str) -> str:
+    """(size, mtime) fingerprint of a source parquet — cache keys for
+    derived /tmp artifacts must invalidate when the driver regenerates
+    testdata between rounds."""
+    import os as _os
+
+    st = _os.stat(path)
+    return f"{st.st_size}:{int(st.st_mtime)}"
+
+
+def _stale(marker: str, fingerprint: str) -> bool:
+    import os as _os
+
+    if not _os.path.exists(marker):
+        return True
+    with open(marker) as f:
+        return f.read().strip() != fingerprint
+
+
+
 @register(
     "q_csv_source_roundtrip",
     sql="""
@@ -2072,12 +2092,14 @@ def q_csv_source_roundtrip(sf_dir: str):
     out = os.path.join("/tmp/opr_csv_src",
                        os.path.basename(os.path.normpath(sf_dir)))
     marker = os.path.join(out, "_done")
-    if not os.path.exists(marker):
+    fp = _source_fingerprint(f"{sf_dir}/customer.parquet")
+    if _stale(marker, fp):
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
         t(sf_dir, "customer", ["c_mktsegment", "c_acctbal"]) \
             .write_csv(os.path.join(out, "customer.csv"))
-        open(marker, "w").close()
+        with open(marker, "w") as f:
+            f.write(fp)
 
     ds = ray.data.read_csv(os.path.join(out, "customer.csv"))
 
@@ -2397,13 +2419,15 @@ def q_partition_pruned_read(sf_dir: str):
     root = os.path.join("/tmp/opr_part_events",
                         os.path.basename(os.path.normpath(sf_dir)))
     marker = os.path.join(root, "_done")
-    if not os.path.exists(marker):
+    fp = _source_fingerprint(f"{sf_dir}/events.parquet")
+    if _stale(marker, fp):
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
         t(sf_dir, "events", ["event_type", "user_id", "value"]) \
             .write_parquet(os.path.join(root, "events"),
                            partition_cols=["event_type"])
-        open(marker, "w").close()
+        with open(marker, "w") as f:
+            f.write(fp)
 
     ds = ray.data.read_parquet(
         os.path.join(root, "events", "event_type=click"),
