@@ -160,9 +160,12 @@ def q_media_phash_dups(sf_dir: str, max_hamming: int = 6):
         ImageFeatureStage, fn_constructor_args=(8, True),
         batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE,
         concurrency=(1, 4), num_cpus=1)
+    # materialize ONCE: the count (scheme width) and the banding pass both
+    # consume the fingerprints — a lazy handle would re-run the whole
+    # synthesize+decode chain per consumer
     fps = ds.select_columns(["doc_id", "thumbnail"]).map_batches(
-        _ahash_batch, batch_format="pyarrow", zero_copy_batch=True)
-    n_images = fps.materialize().count()
+        _ahash_batch, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
     return simhash_hamming_pairs(max_hamming=max_hamming,
-                                 corpus_size=n_images,
+                                 corpus_size=fps.count(),
                                  fingerprints=fps)
