@@ -1583,3 +1583,43 @@ def q_train_val_test(sf_dir: str):
     return grouped_agg(
         docs.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
         ["split", "lang"], [(None, "count", "n")])
+
+
+@register(
+    "q_mixture_upsample",
+    sql="""
+    SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+    FROM (SELECT doc_id, source,
+                 (CAST(substr(source, 4) AS BIGINT) * 13) % 3 + 1 AS reps
+          FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, reps)) AS epoch)
+    """,
+)
+def q_mixture_upsample(sf_dir: str):
+    """Epoch upsampling — the other half of mixture weighting: small
+    high-quality sources are REPEATED (1-3 epochs here, rate a systematic
+    function of the source index, mirroring q_mixture_sample's
+    downsampling rule).  Pure vectorized flat expansion per batch
+    (np.repeat + per-row arange), no shuffle; the epoch column is what
+    lets a training loader interleave repeats instead of reading a
+    physically duplicated corpus."""
+    import numpy as np
+
+    docs = t(sf_dir, "documents", ["doc_id", "source"])
+
+    def expand(b: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(b.column("source"), 3, 32),
+                      pa.int64())
+        reps = np.asarray(pc.add(_pmod(pc.multiply(idx, 13), 3), 1),
+                          dtype=np.int64)
+        total = int(reps.sum())
+        ends = np.cumsum(reps)
+        epoch = (np.arange(total, dtype=np.int64)
+                 - np.repeat(ends - reps, reps) + 1)
+        take = pa.array(np.repeat(np.arange(len(reps), dtype=np.int64),
+                                  reps))
+        out = b.take(take)
+        return out.append_column("epoch", pa.array(epoch, pa.int64()))
+
+    return docs.map_batches(expand, batch_format="pyarrow",
+                            zero_copy_batch=True)
