@@ -57,3 +57,13 @@ def test_string_keys_sort_and_rank(ray_session):
     out = out.sort_values("k").reset_index(drop=True)
     assert out["k"].tolist() == sorted(words)
     assert out["pos"].tolist() == list(range(1, 301))
+
+
+def test_reserved_column_collision_raises(ray_session):
+    import pytest
+
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "pos": pa.array([0, 0], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(ValueError, match="reserved column"):
+        global_sort_position(ds, "k", position_name="pos")
