@@ -67,15 +67,16 @@ def _stage_rows(stage_dir: str) -> int:
 
 
 @register("q_llm_prep_corpus")  # composed pipeline: rows-only driver check
-def q_llm_prep_corpus(sf_dir: str, resume: bool = True):
+def q_llm_prep_corpus(sf_dir: str, resume: bool = False):
     """Run the full prep chain over the documents table; return lineage.
 
-    ``resume=True`` (default) skips stages whose checkpoint marker carries
+    ``resume=True`` skips stages whose checkpoint marker carries
     the current fingerprint chain — a killed run re-executes only from its
     first incomplete stage, and a testdata regeneration (source parquet
     size/mtime change) invalidates everything downstream.  The outputs
     are deterministic, so resumed and fresh runs are identical (pinned by
-    tests)."""
+    tests).  The registered default is a FRESH run so driver/bench
+    timings measure real compute, not the skip path."""
     from ocr_proofreader_ray.pipelines.dedup import q_dedup_clusters
     from ocr_proofreader_ray.pipelines.relational import _source_fingerprint
     from ocr_proofreader_ray.pipelines.text_analysis import (
