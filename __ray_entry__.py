@@ -26,21 +26,32 @@ _ENTRY_WORK = "/tmp/opr_entry"
 
 
 def _ensure_pages(sf_dir: str, out_dir: str) -> str:
-    """Deterministically synthesize the pages table from documents.text."""
+    """Deterministically synthesize the pages table from documents.text.
+    The cache marker carries the source parquet's (size, mtime) so a
+    driver-side testdata regeneration between rounds rebuilds the pages."""
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    fingerprint = f"{st.st_size}:{int(st.st_mtime)}"
     done = os.path.join(out_dir, ".done")
-    if not os.path.exists(done):
+    fresh = False
+    if os.path.exists(done):
+        with open(done) as f:
+            fresh = f.read().strip() == fingerprint
+    if not fresh:
+        import shutil
+
         import pyarrow.parquet as pq
 
         from fixtures.gen_pages import generate_pages
 
-        docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                             columns=["lang", "text"])
+        shutil.rmtree(out_dir, ignore_errors=True)
+        docs = pq.read_table(src, columns=["lang", "text"])
         clean = list(zip(docs.column("lang").to_pylist(),
                          docs.column("text").to_pylist()))
         generate_pages(out_dir, n_docs=len(clean), seed=7, clean_texts=clean,
                        min_count=8, strict=False, n_files=4)
         with open(done, "w") as f:
-            f.write("ok")
+            f.write(fingerprint)
     return out_dir
 
 
