@@ -2671,3 +2671,62 @@ def q_retention_cohorts(sf_dir: str):
     joined = shuffle_join(activity, first_day,
                           on=("uid",), right_on=("user_id",))
     return grouped_agg(joined, ["cohort", "day"], [(None, "count", "n_active")])
+
+
+@register(
+    "q_minmax_scaled",
+    sql="""
+    WITH cents AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag, min(c) AS lo, max(c) AS hi
+      FROM cents GROUP BY l_returnflag
+    )
+    SELECT l_orderkey, l_linenumber, cents.l_returnflag,
+           CAST(c - lo AS DOUBLE) / (hi - lo) AS scaled
+    FROM cents JOIN s USING (l_returnflag)
+    """,
+)
+def q_minmax_scaled(sf_dir: str):
+    """Per-group min-max feature scaling (the standard [0,1] normalizer):
+    one bounded combiner computes each group's exact-integer (min, max),
+    broadcasts them, and every row streams through one vectorized
+    (c - lo) / (hi - lo) — both operands exact ints, so the float division
+    is the identical IEEE operation in both engines and the row-level
+    output hash-matches the SQL oracle.  No shuffle, no sort."""
+    from ocr_proofreader_ray.ops.join import _fetch
+
+    li = t(sf_dir, "lineitem",
+           ["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_linenumber": b.column("l_linenumber"),
+            "l_returnflag": b.column("l_returnflag"),
+            "c": to_units(b.column("l_extendedprice"), 100),
+        })
+
+    ds = li.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    span = grouped_agg(ds, ["l_returnflag"],
+                       [("c", "min", "lo"), ("c", "max", "hi")])
+    ref = ray.put({g: (int(lo), int(hi)) for g, lo, hi in
+                   zip(span.column("l_returnflag").to_pylist(),
+                       span.column("lo").to_pylist(),
+                       span.column("hi").to_pylist())})
+
+    def scale(b: pa.Table) -> pa.Table:
+        m = _fetch(ref)
+        flags = b.column("l_returnflag").to_pandas().to_numpy()
+        c = np.asarray(b.column("c"), np.int64)
+        scaled = np.empty(len(c), np.float64)
+        for g, (lo, hi) in m.items():
+            mask = flags == g
+            scaled[mask] = (c[mask] - lo).astype(np.float64) / (hi - lo)
+        return b.drop_columns(["c"]).append_column(
+            "scaled", pa.array(scaled, pa.float64()))
+
+    return ds.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)
