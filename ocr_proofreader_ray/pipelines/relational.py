@@ -1264,20 +1264,29 @@ def q_lead_lag_orders(sf_dir: str):
             "part": pc.cast(imod(b.column("o_custkey"), n_parts), pa.int32()),
         })
 
-    def lag_in_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
-        prev = g["cents"].shift()
-        same = g["o_custkey"].eq(g["o_custkey"].shift())
-        delta = (g["cents"] - prev).where(same)
-        return pd.DataFrame({
-            "o_orderkey": g["o_orderkey"],
-            "o_custkey": g["o_custkey"],
-            "cents": g["cents"],
-            "delta_cents": delta.astype("Int64"),
+    def lag_in_part(g: pa.Table) -> pa.Table:
+        # Arrow end-to-end: pandas shift() would emit a nullable Int64
+        # extension column whose <NA> representation hash-differs from a
+        # plain Arrow int64-with-null even when every value matches.
+        idx = pc.sort_indices(g, sort_keys=[
+            ("o_custkey", "ascending"), ("o_orderdate", "ascending"),
+            ("o_orderkey", "ascending")])
+        g = g.take(idx)
+        cust = np.asarray(g.column("o_custkey"))
+        cents = np.asarray(g.column("cents"))
+        delta = np.empty_like(cents)
+        delta[1:] = cents[1:] - cents[:-1]
+        first = np.ones(len(cents), dtype=bool)
+        first[1:] = cust[1:] != cust[:-1]
+        return pa.table({
+            "o_orderkey": g.column("o_orderkey"),
+            "o_custkey": g.column("o_custkey"),
+            "cents": g.column("cents"),
+            "delta_cents": pa.array(delta, type=pa.int64(), mask=first),
         })
 
     ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby("part").map_groups(lag_in_part, batch_format="pandas")
+    return ds.groupby("part").map_groups(lag_in_part, batch_format="pyarrow")
 
 
 @register(
@@ -1509,8 +1518,8 @@ def q_melt_lineitem(sf_dir: str):
     sql="""
     SELECT o_orderkey,
            count(l_shipdate) AS window_ships,
-           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-               AS window_revenue_cents
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS window_revenue_cents
     FROM orders LEFT JOIN lineitem
       ON l_shipdate >= o_orderdate
      AND l_shipdate < o_orderdate + INTERVAL 7 DAY
@@ -2670,7 +2679,15 @@ def q_retention_cohorts(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
     joined = shuffle_join(activity, first_day,
                           on=("uid",), right_on=("user_id",))
-    return grouped_agg(joined, ["cohort", "day"], [(None, "count", "n_active")])
+    out = grouped_agg(joined, ["cohort", "day"], [(None, "count", "n_active")])
+    # the exchange collapses day-truncated timestamps to timestamp[s];
+    # DuckDB date_trunc stays timestamp[us] — equal values, different raw
+    # representation, so re-widen for the driver's value hash
+    return pa.table({
+        "cohort": pc.cast(out.column("cohort"), pa.timestamp("us")),
+        "day": pc.cast(out.column("day"), pa.timestamp("us")),
+        "n_active": out.column("n_active"),
+    })
 
 
 @register(

@@ -125,3 +125,29 @@ def test_range_count_join_null_left_ts(ray_session):
     ).to_pandas().sort_values("id")
     # null right ts never matches; null left ts -> count 0
     assert out["n"].tolist() == [2, 0]
+
+
+def test_range_count_join_zero_match_window_is_null_sum(ray_session):
+    """Pin the null-vs-0 contract for orders whose window matches nothing:
+    SQL ``LEFT JOIN`` + ``sum`` yields NULL (count 0), and the engine's
+    prefix-sum probe must agree — the oracle for q_ship_window_counts
+    relies on this (no sf0.01 order happens to hit the case, so it is
+    planted here)."""
+    base = np.datetime64("2020-01-01", "us")
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+    left = pa.table({
+        "id": pa.array([0, 1], pa.int64()),
+        # id=1's 7-day window [100, 107) contains no right rows
+        "ts": pa.array([base, base + 100 * day], pa.timestamp("us")),
+    })
+    right = pa.table({
+        "rts": pa.array([base, base + 3 * day], pa.timestamp("us")),
+        "val": pa.array([10, 20], pa.int64()),
+    })
+    out = range_count_join(
+        _ds(left, 1), "ts", _ds(right, 1), "rts", window_days=7,
+        count_name="n", sum_col="val", sum_name="s",
+    ).to_pandas().sort_values("id")
+    assert out["n"].tolist() == [2, 0]
+    assert int(out["s"].iloc[0]) == 30
+    assert pd.isna(out["s"].iloc[1])

@@ -51,6 +51,17 @@ def test_query_matches_oracle(ray_session, con, name):
     )
     assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # Driver-style representation check: the real gate hashes canonical
+    # VALUES, so a pandas extension dtype (Int64 <NA>) or an int/float
+    # mismatch fails it even when assert_frame_equal(check_dtype=False)
+    # passes — caught live in round 3 on q_lead_lag_orders.  Exact floats
+    # (engine contract) make this hash stable.
+    h_got = pd.util.hash_pandas_object(got, index=False).sum()
+    h_want = pd.util.hash_pandas_object(want, index=False).sum()
+    assert h_got == h_want, (
+        f"{name}: value-hash mismatch (dtypes {dict(got.dtypes.astype(str))} "
+        f"vs {dict(want.dtypes.astype(str))})"
+    )
 
 
 def test_every_oracle_has_query():
