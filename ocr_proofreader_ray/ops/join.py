@@ -106,7 +106,8 @@ def shuffle_semi_anti(
     keys_on = keys_on or on
     if num_partitions is None:
         num_partitions = _derive_num_partitions(ds, keys_ds)
-    reserved = {"__part", "__side"} & set(ds.schema().names)
+    reserved = ({"__part", "__side", "__key"}
+                & (set(ds.schema().names) | set(keys_ds.schema().names)))
     if reserved:
         raise ValueError(
             f"shuffle_semi_anti: input carries reserved column(s) "
@@ -443,17 +444,39 @@ def asof_join(
 
     out_schema = pa.schema(list(lschema.items()) + list(rschema.items()))
 
-    def asof_partition(g) -> "pa.Table":
+    # integer columns must cross into pandas as NULLABLE extension dtypes:
+    # the plain path upcasts the null-padded union to float64, which
+    # silently corrupts ids above 2^53 (snowflake/hash ids at corpus
+    # scale) before merge_asof even compares keys
+    _INT_NULLABLE = {
+        pa.int8(): "Int8", pa.int16(): "Int16", pa.int32(): "Int32",
+        pa.int64(): "Int64", pa.uint8(): "UInt8", pa.uint16(): "UInt16",
+        pa.uint32(): "UInt32", pa.uint64(): "UInt64",
+    }
+
+    def _to_pd(tab: pa.Table):
         import pandas as pd
 
-        l = g[g["__side"] == 0][lcols].sort_values(left_ts, kind="stable")
-        r_sort = ([right_ts, right_tiebreak] if right_tiebreak
-                  else [right_ts])
-        r = g[g["__side"] == 1][rcols].sort_values(r_sort, kind="stable")
+        return tab.to_pandas(
+            types_mapper=lambda t: (pd.__dict__[_INT_NULLABLE[t] + "Dtype"]()
+                                    if t in _INT_NULLABLE else None))
+
+    def asof_partition(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        side = g.column("__side")
         # null timestamps can never satisfy ts >= rts: drop them (SQL inner
         # ASOF semantics) — merge_asof would otherwise raise on NaT keys
-        l = l[l[left_ts].notna()]
-        r = r[r[right_ts].notna()]
+        l = _to_pd(
+            g.filter(pc.and_(pc.equal(side, 0),
+                             pc.is_valid(g.column(left_ts)))).select(lcols)
+        ).sort_values(left_ts, kind="stable")
+        r_sort = ([right_ts, right_tiebreak] if right_tiebreak
+                  else [right_ts])
+        r = _to_pd(
+            g.filter(pc.and_(pc.equal(side, 1),
+                             pc.is_valid(g.column(right_ts)))).select(rcols)
+        ).sort_values(r_sort, kind="stable")
         if not len(l) or not len(r):
             return out_schema.empty_table()
         # merge_asof demands identical temporal dtypes; sources may carry
@@ -465,17 +488,15 @@ def asof_join(
                             left_by=on, right_by=right_on,
                             direction="backward")
         out = out[out[right_on].notna()]  # inner semantics
-        # restore EVERY column to its source Arrow type: the union's null
-        # padding and merge_asof's NaN non-matches upcast ints (both sides)
-        # to float64 in pandas; from_pandas with an explicit type turns the
-        # remaining NaNs back into nulls instead of failing the int cast
+        # restore EVERY column to its source Arrow type: nullable ints
+        # round-trip losslessly; float/ts columns keep their NaN->null map
         return pa.table(
             {name: pa.Array.from_pandas(out[name], type=typ)
              for name, typ in zip(out_schema.names, out_schema.types)},
             schema=out_schema)
 
     return lt.union(rt).groupby("__part").map_groups(
-        asof_partition, batch_format="pandas")
+        asof_partition, batch_format="pyarrow")
 
 
 _USEC_PER_DAY = 86_400_000_000

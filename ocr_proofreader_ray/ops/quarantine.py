@@ -66,6 +66,11 @@ def map_with_quarantine(ds: "ray.data.Dataset", fn,
         try:
             return [_good_table(fn(batch))]
         except Exception as err:  # noqa: BLE001 — the whole point
+            if batch.num_rows == 0:
+                # fn raised on an EMPTY batch (e.g. code indexing row 0);
+                # bisection would reproduce the same empty batch forever —
+                # there is no poison row to report, so emit nothing
+                return []
             if batch.num_rows == 1:
                 return [_bad_table(batch, err, out_schema)]
             mid = batch.num_rows // 2
@@ -74,6 +79,8 @@ def map_with_quarantine(ds: "ray.data.Dataset", fn,
 
     def wrapper(batch: pa.Table) -> pa.Table:
         parts = attempt(batch)
+        if not parts:
+            return _good_table(out_schema.empty_table())
         return pa.concat_tables(parts, promote_options="default")
 
     return ds.map_batches(wrapper, batch_format="pyarrow",

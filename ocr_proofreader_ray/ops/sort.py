@@ -17,11 +17,18 @@ rank.  No driver-side sort of the data, no single-node bottleneck:
   its broadcast offset.
 
 Keys must be UNIQUE (callers pack tie-breaks into the key — the same
-(value << k) | id packing as q_ntile_customers) and either int64 or
-string (strings compare in codepoint order, matching SQL binary
-collation); descending int orders are expressed by negating the packed
-key.  Uniqueness makes the permutation — and therefore every output
-position — deterministic at any parallelism.
+(value << k) | id packing as q_ntile_customers) and NON-NULL (a null has
+no defined rank; both are enforced loudly), and either int64 or string
+(strings compare in UTF-8 byte order = codepoint order, matching SQL
+binary collation); descending int orders are expressed by negating the
+packed key.  Uniqueness makes the permutation — and therefore every
+output position — deterministic at any parallelism.
+
+String keys never materialize as fixed-width numpy unicode (max_len x
+rows x 4 bytes — one long-tail URL/outlier string per partition would
+blow worker heaps): partition routing is a vectorized binary search of
+Arrow compares against the boundary list, and the per-range sort is
+Arrow's own ``sort_indices``.
 """
 
 from __future__ import annotations
@@ -38,15 +45,43 @@ from ocr_proofreader_ray.ops.join import _derive_num_partitions, _fetch
 _SAMPLE_MAX = 100_000
 
 
-def _key_np(col) -> np.ndarray:
-    """Key column -> comparable numpy array (int64 fast path; strings as
-    object arrays — python str comparisons are codepoint order, matching
-    SQL binary collation)."""
+def _assert_clean_key(col, key_col: str) -> None:
+    if col.null_count:
+        raise ValueError(
+            f"global_sort_position: key column {key_col!r} contains "
+            f"{col.null_count} null(s) — a null key has no defined rank; "
+            "filter or fill upstream")
+
+
+def _searchsorted_right(bounds: np.ndarray, col) -> np.ndarray:
+    """``np.searchsorted(bounds, col, side='right')`` for an Arrow column
+    against a small sorted boundary array (object dtype for strings).
+
+    Int64 keys take the numpy fast path.  String keys run a VECTORIZED
+    branchless binary search — log2(len(bounds)) Arrow string compares,
+    each row against its own gathered boundary — so per-batch memory stays
+    O(batch bytes), independent of the longest string in the batch.
+    """
     if pa.types.is_integer(col.type):
-        return np.asarray(pc.cast(col, pa.int64()))
-    # fixed-width unicode keeps numpy comparisons vectorized (object
-    # arrays would fall back to per-element python compares)
-    return col.to_pandas().to_numpy().astype(str)
+        return np.searchsorted(
+            bounds.astype(np.int64),
+            np.asarray(pc.cast(col, pa.int64())), side="right")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    lo = np.zeros(n, np.int64)
+    hi = np.full(n, len(bounds), np.int64)
+    # first index i with bounds[i] > key == count of bounds <= key
+    while True:
+        active = lo < hi
+        if not active.any():
+            return lo
+        mid = (lo + hi) // 2
+        per_row = pa.array(
+            bounds[np.minimum(mid, len(bounds) - 1)].tolist(), pa.string())
+        gt = np.asarray(pc.greater(per_row, col))  # bounds[mid] > key
+        hi = np.where(active & gt, mid, hi)
+        lo = np.where(active & ~gt, mid + 1, lo)
 
 
 def global_sort_position(
@@ -56,9 +91,10 @@ def global_sort_position(
     num_partitions: int | None = None,
     sample_max: int = _SAMPLE_MAX,
 ) -> "ray.data.Dataset":
-    """Sort ``ds`` ascending by unique int64 ``key_col``; append 1-based
-    global rank as ``position_name``.  Output blocks are the sorted ranges
-    in partition order (range i holds ranks offsets[i]+1 .. offsets[i+1])."""
+    """Sort ``ds`` ascending by unique non-null int64/string ``key_col``;
+    append 1-based global rank as ``position_name``.  Output blocks are the
+    sorted ranges in partition order (range i holds ranks
+    offsets[i]+1 .. offsets[i+1])."""
     if {"__part", position_name} & set(ds.schema().names):
         raise ValueError("global_sort_position: reserved column collision")
     # three consumers (sample, histogram, exchange) — materialize once so
@@ -73,8 +109,9 @@ def global_sort_position(
 
     def assign(b: pa.Table) -> pa.Table:
         bv = _fetch(bref)
-        keys = _key_np(b.column(key_col))
-        part = np.searchsorted(bv, keys, side="right")
+        col = b.column(key_col)
+        _assert_clean_key(col, key_col)
+        part = _searchsorted_right(bv, col)
         return b.append_column("__part", pa.array(part, pa.int64()))
 
     parted = ds.map_batches(assign, batch_format="pyarrow",
@@ -94,10 +131,19 @@ def global_sort_position(
     def sort_range(g: pa.Table) -> pa.Table:
         offs = _fetch(oref)
         part = g.column("__part")[0].as_py()
-        keys = _key_np(g.column(key_col))
-        order = np.argsort(keys, kind="stable")
-        g = g.take(pa.array(order)).drop_columns(["__part"])
-        pos = offs[part] + np.arange(1, len(order) + 1, dtype=np.int64)
+        order = pc.sort_indices(g, sort_keys=[(key_col, "ascending")])
+        g = g.take(order).drop_columns(["__part"])
+        # range partitioning co-locates equal keys, so an adjacent-equal
+        # scan here is a COMPLETE duplicate check — enforce the documented
+        # uniqueness precondition instead of emitting nondeterministic ranks
+        key = g.column(key_col)
+        if g.num_rows > 1:
+            dup = pc.any(pc.equal(key.slice(1), key.slice(0, len(key) - 1)))
+            if dup.as_py():
+                raise ValueError(
+                    f"global_sort_position: key column {key_col!r} has "
+                    "duplicate values — pack a tie-break into the key")
+        pos = offs[part] + np.arange(1, g.num_rows + 1, dtype=np.int64)
         return g.append_column(position_name, pa.array(pos, pa.int64()))
 
     return parted.groupby("__part").map_groups(sort_range,
@@ -108,7 +154,9 @@ def _sample_boundaries(ds, key_col: str, total: int, num_partitions: int,
                        sample_max: int) -> np.ndarray:
     """num_partitions-1 range boundaries from a bounded deterministic
     hash-threshold sample of the key column (empty/small inputs degrade to
-    fewer — possibly zero — boundaries, i.e. fewer real ranges)."""
+    fewer — possibly zero — boundaries, i.e. fewer real ranges).  String
+    samples stay python objects end-to-end: a fixed-width unicode array
+    would cost max_len x sample_max x 4 bytes on one outlier."""
     if total <= 0 or num_partitions <= 1:
         return np.empty(0, np.int64)
     rate = min(1.0, sample_max / total)
@@ -116,6 +164,7 @@ def _sample_boundaries(ds, key_col: str, total: int, num_partitions: int,
 
     def sample(b: pa.Table) -> pa.Table:
         col = b.column(key_col)
+        _assert_clean_key(col, key_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         keep = _key_hash64(col) <= thresh
@@ -124,9 +173,12 @@ def _sample_boundaries(ds, key_col: str, total: int, num_partitions: int,
     sampled = ds.map_batches(sample, batch_format="pyarrow",
                              zero_copy_batch=True).take_all()
     vals = [r["k"] for r in sampled]
-    # inferred dtype: int64 for ints, fixed-width unicode for strings —
-    # both keep the per-batch searchsorted fully vectorized
-    keys = np.sort(np.array(vals)) if vals else np.empty(0, np.int64)
+    if not vals:
+        return np.empty(0, np.int64)
+    if isinstance(vals[0], str):
+        keys = np.sort(np.array(vals, dtype=object))
+    else:
+        keys = np.sort(np.array(vals, dtype=np.int64))
     if len(keys) < num_partitions:
         return np.unique(keys)
     idx = (np.arange(1, num_partitions) * len(keys)) // num_partitions

@@ -190,3 +190,30 @@ def test_grouped_top_k_per_group_and_determinism(ray_session):
                           ["g"], [("v", "ascending")], 3)
     assert (again.to_pandas().sort_values(["g", "v"])
             .reset_index(drop=True).equals(want))
+
+
+def test_asof_join_ids_above_2_53_survive(ray_session):
+    """64-bit snowflake/hash ids exceed float64's 2^53 integer range; the
+    partition must never round-trip them through plain float64 (ADVICE r03:
+    the null-padded union upcast every int column before merge_asof)."""
+    import ray.data
+
+    from ocr_proofreader_ray.ops.join import asof_join
+
+    big = 2**60 + 1  # not representable in float64 (rounds to 2^60)
+    left = ray.data.from_arrow(pa.table({
+        "eid": pa.array([big, big + 3], pa.int64()),
+        "k": pa.array([big + 1, big + 2], pa.int64()),
+        "ts": pa.array([_ts("2024-01-05"), _ts("2024-01-05")]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([big + 1, big + 2], pa.int64()),
+        "rid": pa.array([big + 5, big + 6], pa.int64()),
+        "rts": pa.array([_ts("2024-01-03"), _ts("2024-01-04")]),
+    }))
+    out = {r["eid"]: r["rid"] for r in
+           asof_join(left, right, on="k", right_on="rk",
+                     left_ts="ts", right_ts="rts").take_all()}
+    # float64 rounding would collapse big+1 and big+2 into the same key
+    # (wrong matches) and corrupt the payload ids
+    assert out == {big: big + 5, big + 3: big + 6}

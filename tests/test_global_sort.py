@@ -67,3 +67,40 @@ def test_reserved_column_collision_raises(ray_session):
     ds = ray.data.from_arrow(t)
     with pytest.raises(ValueError, match="reserved column"):
         global_sort_position(ds, "k", position_name="pos")
+
+
+def test_string_outlier_key_no_fixed_width_blowup(ray_session):
+    """A single 1 MB outlier string key must not multiply partition memory
+    (the old fixed-width numpy unicode path cost max_len x rows x 4 bytes);
+    routing + ranks stay exact (VERDICT r03 #4)."""
+    import pytest
+
+    whale = "z" * 1_000_000
+    words = sorted(f"k{idx:05d}" for idx in range(2000))
+    keys = words + [whale]
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(len(keys))
+    t = pa.table({"k": pa.array([keys[i] for i in perm], pa.string())})
+    ds = ray.data.from_arrow(t).repartition(6)
+    out = global_sort_position(ds, "k", position_name="pos",
+                               num_partitions=8,
+                               sample_max=100).to_pandas()
+    out = out.sort_values("pos").reset_index(drop=True)
+    assert out["k"].tolist() == sorted(keys)
+    assert out["pos"].tolist() == list(range(1, len(keys) + 1))
+
+    # null keys fail loudly, not as the literal string "None"
+    tn = pa.table({"k": pa.array(["a", None, "c"], pa.string())})
+    with pytest.raises((ValueError, Exception)) as exc:
+        global_sort_position(ray.data.from_arrow(tn), "k").to_pandas()
+    assert "null" in str(exc.value)
+
+
+def test_duplicate_keys_raise(ray_session):
+    import pytest
+
+    t = pa.table({"k": pa.array([5, 3, 5, 1], pa.int64())})
+    with pytest.raises(Exception) as exc:
+        global_sort_position(ray.data.from_arrow(t), "k",
+                             num_partitions=2).to_pandas()
+    assert "duplicate" in str(exc.value)

@@ -196,3 +196,22 @@ def test_shuffle_semi_anti_null_and_string_keys(ray_session):
                                        anti=anti, num_partitions=4))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_shuffle_semi_anti_rejects_reserved_key_column(ray_session):
+    """__key is appended internally (ADVICE r03): an input already carrying
+    it must fail upfront with the intended ValueError, on either side."""
+    import pytest
+    import ray.data
+
+    from ocr_proofreader_ray.ops.join import shuffle_semi_anti
+
+    clean = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    tainted = ray.data.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "__key": pa.array([0], pa.int64()),
+    }))
+    with pytest.raises(ValueError, match="__key"):
+        shuffle_semi_anti(tainted, clean, on="k", keys_on="k")
+    with pytest.raises(ValueError, match="__key"):
+        shuffle_semi_anti(clean, tainted, on="k", keys_on="k")

@@ -62,3 +62,21 @@ def test_all_rows_poison(ray_session):
     assert good.count() == 0
     assert bad.num_rows == 8
     assert set(bad.column("__error_type").to_pylist()) == {"RuntimeError"}
+
+
+def test_empty_batch_raise_does_not_recurse(ray_session):
+    """fn raising on a 0-row batch (e.g. code indexing row 0) must not
+    bisect forever — slice(0,0) reproduces the same empty batch until
+    RecursionError (ADVICE r03).  There is no poison row to report, so
+    the empty batch yields nothing."""
+    def fn(b: pa.Table) -> pa.Table:
+        first = b.column("doc_id")[0].as_py()  # raises on 0 rows
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "double": pc.multiply(b.column("doc_id"), 2)})
+
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64())}))
+    good, bad = split_quarantine(
+        map_with_quarantine(empty, fn, OUT_SCHEMA))
+    assert good.count() == 0
+    assert bad.num_rows == 0
