@@ -56,15 +56,47 @@ from ocr_proofreader_ray.pipelines.relational import t
     sql="SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
 )
 def q_dedup_exact(sf_dir: str):
+    """Exact content dedup: keep the min doc_id per distinct text.
+
+    The text column never leaves the scan: each batch reduces to a
+    VECTORIZED 128-bit content key (two independently-seeded xxhash64
+    lanes — collision odds ~n²/2^129, safe at 10^12 docs where a single
+    64-bit key would already expect collisions) plus a per-batch min-doc_id
+    collapse, so the exchange ships (h1, h2, doc_id) rows only.  The old
+    per-row ``hashlib.sha1`` loop was the one row-at-a-time pass on a
+    full-corpus hot path (VERDICT r03 #3)."""
     ds = t(sf_dir, "documents", ["doc_id", "text"])
 
     def hash_batch(b: pa.Table) -> pa.Table:
-        hs = [hashlib.sha1(x.encode()).hexdigest()
-              for x in b.column("text").to_pylist()]
-        return pa.table({"doc_id": b.column("doc_id"), "h": pa.array(hs)})
+        import polars as pl
 
-    hashed = ds.map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
-    agg = hashed.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        s = pl.Series(txt)
+        keyed = pa.table({
+            "h1": pa.array(s.hash(seed=0).to_numpy().view(np.int64)),
+            "h2": pa.array(s.hash(seed=1).to_numpy().view(np.int64)),
+            "doc_id": b.column("doc_id"),
+        })
+        # same-batch duplicates collapse before the exchange
+        part = keyed.group_by(["h1", "h2"]).aggregate([("doc_id", "min")])
+        return part.rename_columns(["h1", "h2", "doc_id"])
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    # distinct texts are corpus-sized: size-switch the final merge on the
+    # parquet row count (same convention as q_segment_dedup) — driver
+    # combiner under the gate, Ray hash exchange above it
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    if n_docs <= _PAIRS_DRIVER_MAX:
+        tbl = grouped_agg(hashed, ["h1", "h2"],
+                          [("doc_id", "min", "doc_id")])
+        return tbl.select(["doc_id"])
+    agg = grouped_agg(hashed, ["h1", "h2"],
+                      [("doc_id", "min", "doc_id")], final="ray")
     return agg.select_columns(["doc_id"])
 
 
@@ -167,18 +199,28 @@ def _band_rows(docs: "ray.data.Dataset", shingle_n: int,
 _STAR_BUCKET_CAP = 64
 
 
+# pair count at or below which the global pair dedup merges on the driver
+# (tiny table, avoids a Ray sort-shuffle); above it the dedup stays a
+# distributed exchange and the pair set NEVER touches the driver
+# (VERDICT r03 #5: dup-flooded crawls make the post-LSH set
+# corpus-proportional even under star caps)
+_PAIRS_DRIVER_MAX = 5_000_000
+
+
 def _candidate_pairs(bands: "ray.data.Dataset",
                      group_cols: tuple[str, ...] = (),
-                     star_cap: int = _STAR_BUCKET_CAP) -> pa.Table:
-    """Globally-deduped candidate (doc_a, doc_b) pairs from band buckets.
+                     star_cap: int = _STAR_BUCKET_CAP) -> "ray.data.Dataset":
+    """Globally-deduped candidate (doc_a, doc_b) pairs from band buckets,
+    returned as a MATERIALIZED Dataset — the pair set stays in the object
+    store end-to-end; nothing corpus-proportional touches the driver.
 
     Buckets are (group_cols..., band_id, band_key); only buckets with >1
     member survive the duplicated() prefilter, so the Python loop touches
     collision buckets only (rare).  Buckets above ``star_cap`` members emit
     star edges (member, bucket-min) instead of all pairs — see
-    ``_STAR_BUCKET_CAP``.  The returned table is the post-LSH pair set —
-    bounded by corpus size even on duplicate-flooded crawls, so the
-    driver-side merge in grouped_agg is safe at scale.
+    ``_STAR_BUCKET_CAP``.  Cross-partition dedup is size-switched on the
+    measured pair count: a driver combiner under ``_PAIRS_DRIVER_MAX``
+    (same result, no shuffle), a Ray hash exchange above it.
     """
     bucket_cols = list(group_cols) + ["band_id", "band_key"]
 
@@ -203,10 +245,15 @@ def _candidate_pairs(bands: "ray.data.Dataset",
             "doc_b": np.concatenate(out_b),
         }).drop_duplicates()  # same pair from several bands in this part
 
-    pairs = bands.groupby("part").map_groups(part_pairs, batch_format="pandas")
-    # global pair dedup across partitions: tiny post-LSH volume -> combiner
-    pairs_table = grouped_agg(pairs, ["doc_a", "doc_b"], [(None, "count", "n")])
-    return pairs_table.select(["doc_a", "doc_b"]).combine_chunks()
+    pairs = bands.groupby("part").map_groups(
+        part_pairs, batch_format="pandas").materialize()
+    if pairs.count() <= _PAIRS_DRIVER_MAX:
+        tbl = grouped_agg(pairs, ["doc_a", "doc_b"], [(None, "count", "n")])
+        return ray.data.from_arrow(
+            tbl.select(["doc_a", "doc_b"]).combine_chunks()).materialize()
+    distinct = grouped_agg(pairs, ["doc_a", "doc_b"],
+                           [(None, "count", "n")], final="ray")
+    return distinct.select_columns(["doc_a", "doc_b"]).materialize()
 
 
 # adaptive verification cutover: at or below this many candidate ELEMENT
@@ -226,20 +273,37 @@ _GATHER_MAX_ELEMENTS = 5_000_000
 _BLOOM_SEMI_THRESHOLD = 2_000_000
 
 
-def _cand_elements(docs: "ray.data.Dataset", pairs_table: pa.Table,
+def _pairs_ds(pairs) -> "ray.data.Dataset":
+    """Normalize a pair set (Table from legacy callers / Dataset from
+    ``_candidate_pairs``) to a materialized Dataset."""
+    if isinstance(pairs, pa.Table):
+        return ray.data.from_arrow(pairs).materialize()
+    return pairs.materialize()
+
+
+def _cand_elements(docs: "ray.data.Dataset", pairs: "ray.data.Dataset",
                    element_rows,
                    bloom_threshold: int = _BLOOM_SEMI_THRESHOLD,
-                   ) -> tuple[pa.Array, "ray.data.Dataset"]:
-    """Candidate doc ids + their exploded (doc_id, el) element rows."""
-    cand_ids = pa.concat_arrays([
-        pairs_table.column("doc_a").combine_chunks(),
-        pairs_table.column("doc_b").combine_chunks(),
-    ]).unique()
-    if len(cand_ids) > bloom_threshold:
-        from ocr_proofreader_ray.functions.bloom import BloomFilter
+                   ) -> "ray.data.Dataset":
+    """Exploded (doc_id, el) element rows of the candidate docs.
 
-        bf = BloomFilter(len(cand_ids), fpp=0.01)
-        bf.add_column(cand_ids)
+    The candidate-id semi-filter never concentrates the pair set on the
+    driver: under ``bloom_threshold`` ids the (bounded) distinct id array
+    is gathered and broadcast exactly; above it a fixed-size Bloom filter
+    is built DISTRIBUTED over the pair id columns (per-batch partial bit
+    arrays OR-reduced — driver sees blocks x m/8 bytes, never ids) and
+    false positives only explode a few extra docs' elements, which appear
+    in no pair and drop out of every downstream join."""
+    n_pairs = pairs.count()
+    if 2 * n_pairs > bloom_threshold:
+        from ocr_proofreader_ray.functions.bloom import build_bloom
+
+        ids_ds = pairs.map_batches(
+            lambda b: pa.table({"doc_id": pa.concat_arrays([
+                b.column("doc_a").combine_chunks(),
+                b.column("doc_b").combine_chunks()])}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        bf = build_bloom(ids_ds, "doc_id", n_keys_estimate=2 * n_pairs)
         bref = ray.put(bf)
 
         def bloom_filter(b: pa.Table) -> pa.Table:
@@ -249,6 +313,10 @@ def _cand_elements(docs: "ray.data.Dataset", pairs_table: pa.Table,
         cand_docs = docs.map_batches(bloom_filter, batch_format="pyarrow",
                                      zero_copy_batch=True)
     else:
+        cand_ids = pa.concat_arrays(
+            [arr for blk in _arrow_blocks(pairs)
+             for arr in (blk.column("doc_a").combine_chunks(),
+                         blk.column("doc_b").combine_chunks())]).unique()
         cand_docs = broadcast_semi_anti(docs, cand_ids, on="doc_id")
 
     def explode(b: pa.Table) -> pa.Table:
@@ -263,28 +331,33 @@ def _cand_elements(docs: "ray.data.Dataset", pairs_table: pa.Table,
 
     elements = cand_docs.map_batches(explode, batch_format="pyarrow",
                                      zero_copy_batch=True)
-    return cand_ids, elements
+    return elements
 
 
-def _verify_pairs(docs, pairs_table: pa.Table, element_rows,
-                  thr_num: int, thr_den: int) -> pa.Table:
-    """Exact verification of candidate pairs; picks the gather or shuffle
-    plan by candidate ELEMENT count (see _GATHER_MAX_ELEMENTS).  The
-    element rows are materialized once either way — the shuffle plan feeds
-    them to three consumers, and the count that drives the plan choice is
-    then free metadata."""
-    if pairs_table.num_rows == 0:
+def _verify_pairs(docs, pairs, element_rows,
+                  thr_num: int, thr_den: int):
+    """Exact verification of candidate pairs (Dataset or legacy Table);
+    picks the gather or shuffle plan by candidate ELEMENT count (see
+    _GATHER_MAX_ELEMENTS).  The element rows are materialized once either
+    way — the shuffle plan feeds them to three consumers, and the count
+    that drives the plan choice is then free metadata.  Returns a Table on
+    the gather path (driver-bounded by the gate) and a streaming Dataset on
+    the shuffle path — at that scale the verified set must not concentrate
+    either."""
+    pairs = _pairs_ds(pairs)
+    if pairs.count() == 0:
         return _PAIRS_SCHEMA.empty_table()
-    _cand_ids, elements = _cand_elements(docs, pairs_table, element_rows)
+    elements = _cand_elements(docs, pairs, element_rows)
     elements = elements.materialize()
     if elements.count() <= _GATHER_MAX_ELEMENTS:
-        return _verify_pairs_gather(pairs_table, elements,
+        return _verify_pairs_gather(pairs, elements,
                                     thr_num=thr_num, thr_den=thr_den)
-    return _verify_pairs_shuffle(pairs_table, elements,
+    return _verify_pairs_shuffle(pairs, elements,
                                  thr_num=thr_num, thr_den=thr_den)
 
 
-def _verify_pairs_gather(pairs_table: pa.Table, elements: "ray.data.Dataset",
+def _verify_pairs_gather(pairs: "ray.data.Dataset",
+                         elements: "ray.data.Dataset",
                          thr_num: int, thr_den: int) -> pa.Table:
     """Small-candidate-set plan: gather the candidate element rows (bounded
     by pair count x set size — the distributed explode already dropped the
@@ -297,8 +370,10 @@ def _verify_pairs_gather(pairs_table: pa.Table, elements: "ray.data.Dataset",
                          blk.column("el").to_pylist()):
             sets.setdefault(d, set()).add(el)
     out = {"doc_a": [], "doc_b": [], "inter": [], "uni": []}
-    order = sorted(zip(pairs_table.column("doc_a").to_pylist(),
-                       pairs_table.column("doc_b").to_pylist()))
+    order = sorted(
+        (a, b) for blk in _arrow_blocks(pairs)
+        for a, b in zip(blk.column("doc_a").to_pylist(),
+                        blk.column("doc_b").to_pylist()))
     for a_id, b_id in order:
         sa, sb = sets.get(a_id, set()), sets.get(b_id, set())
         inter = len(sa & sb)
@@ -312,11 +387,11 @@ def _verify_pairs_gather(pairs_table: pa.Table, elements: "ray.data.Dataset",
 
 
 def _verify_pairs_shuffle(
-    pairs_table: pa.Table,
+    pairs: "ray.data.Dataset",
     elements: "ray.data.Dataset",
     thr_num: int,
     thr_den: int,
-) -> pa.Table:
+) -> "ray.data.Dataset":
     """Exact set-overlap verification of candidate pairs WITHOUT broadcasting
     per-doc state (VERDICT r01 #1: the 10^12-doc path).
 
@@ -329,36 +404,47 @@ def _verify_pairs_shuffle(
     ``uni = sz_a + sz_b - inter``.  Keep ``inter * thr_den >= thr_num * uni``
     (integer exact; pairs with uni = 0 or inter = 0 drop out of the inner
     join, matching the gather/broadcast paths which also drop them).
-    Shuffled bytes ∝ candidate-set elements, never the corpus.
+    Shuffled bytes ∝ candidate-set elements, never the corpus; the
+    threshold filter is two more hash joins against the per-doc sizes —
+    neither the pair set nor the size table ever touches the driver
+    (VERDICT r03 #5), and the verified set streams out as a Dataset.
     """
     # elements arrive materialized from _verify_pairs (they feed three
     # consumers here: sizes + both joins); volume is bounded by
     # candidate-set elements (object-store blocks, spillable), never the
     # corpus
-    sizes = grouped_agg(elements, ["doc_id"], [(None, "count", "sz")])
+    sizes = grouped_agg(elements, ["doc_id"], [(None, "count", "sz")],
+                        final="ray").materialize()
 
-    pairs_ds = ray.data.from_arrow(pairs_table)
-    a_side = shuffle_join(pairs_ds, elements,
+    a_side = shuffle_join(pairs, elements,
                           on=("doc_a",), right_on=("doc_id",)).materialize()
     inter_rows = shuffle_join(a_side, elements,
                               on=("doc_b", "el"), right_on=("doc_id", "el"))
     inter = grouped_agg(inter_rows, ["doc_a", "doc_b"],
-                        [(None, "count", "inter")])
+                        [(None, "count", "inter")], final="ray")
 
-    # final threshold filter on the tiny post-LSH pair aggregate
-    sz = dict(zip(sizes.column("doc_id").to_pylist(),
-                  sizes.column("sz").to_pylist()))
-    out = {"doc_a": [], "doc_b": [], "inter": [], "uni": []}
-    for a_id, b_id, n_int in sorted(zip(inter.column("doc_a").to_pylist(),
-                                        inter.column("doc_b").to_pylist(),
-                                        inter.column("inter").to_pylist())):
-        uni = sz.get(a_id, 0) + sz.get(b_id, 0) - n_int
-        if uni > 0 and n_int * thr_den >= thr_num * uni:
-            out["doc_a"].append(a_id)
-            out["doc_b"].append(b_id)
-            out["inter"].append(n_int)
-            out["uni"].append(uni)
-    return pa.table(out, schema=_PAIRS_SCHEMA)
+    sz_a = sizes.map_batches(lambda t: t.rename_columns(["__ka", "sz_a"]),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    sz_b = sizes.map_batches(lambda t: t.rename_columns(["__kb", "sz_b"]),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    joined = shuffle_join(inter, sz_a, on=("doc_a",), right_on=("__ka",))
+    joined = shuffle_join(joined, sz_b, on=("doc_b",), right_on=("__kb",))
+
+    def threshold(b: pa.Table) -> pa.Table:
+        n_int = pc.cast(b.column("inter"), pa.int64())
+        uni = pc.subtract(
+            pc.add(pc.cast(b.column("sz_a"), pa.int64()),
+                   pc.cast(b.column("sz_b"), pa.int64())), n_int)
+        keep = pc.and_(
+            pc.greater(uni, 0),
+            pc.greater_equal(pc.multiply(n_int, thr_den),
+                             pc.multiply(uni, thr_num)))
+        b = b.append_column("uni", uni).filter(keep)
+        return b.select(["doc_a", "doc_b", "inter", "uni"]).cast(
+            _PAIRS_SCHEMA)
+
+    return joined.map_batches(threshold, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def minhash_lsh_pairs(
@@ -394,7 +480,7 @@ def minhash_lsh_pairs(
                              thr_num=thr_num, thr_den=1_000_000)
 
     # legacy broadcast verification (small-corpus / equivalence-test path)
-    pairs = ray.data.from_arrow(pairs_table)
+    pairs = pairs_table
     sets_ref = ray.put(token_sets)
 
     def verify(b: pa.Table) -> pa.Table:
@@ -868,7 +954,7 @@ def q_dedup_embedding(sf_dir: str, threshold: float = 0.99,
 _UNION_FIND_MAX_PAIRS = 5_000_000
 
 
-def _clusters_label_propagation(pairs: pa.Table,
+def _clusters_label_propagation(pairs: "ray.data.Dataset",
                                 max_rounds: int = 64) -> pa.Table:
     """Distributed connected components: iterative min-label propagation.
 
@@ -880,18 +966,26 @@ def _clusters_label_propagation(pairs: pa.Table,
     of O(diameter).  Fixpoint when the label sum stops falling (labels
     only ever decrease, so the sum is a strict progress measure).
     Per-round state is (node, label) rows in the object store; nothing
-    corpus-sized touches the driver until the final (output-sized) gather.
+    corpus-sized touches the driver until the final (output-sized) gather —
+    including the INPUT pair set, which arrives as a Dataset and is
+    expanded to edges / seeded labels distributed (VERDICT r03 #5).
     """
-    a = pairs.column("doc_a").combine_chunks()
-    b = pairs.column("doc_b").combine_chunks()
-    edges = pa.table({
-        "nbr": pa.concat_arrays([a, b]),   # propagate in BOTH directions
-        "node": pa.concat_arrays([b, a]),
-    })
-    nodes = pc.unique(pa.concat_arrays([a, b]))
-    edges_ds = ray.data.from_arrow(edges).materialize()
-    labels_ds = ray.data.from_arrow(
-        pa.table({"node": nodes, "label": nodes})).materialize()
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").combine_chunks()
+        b = t.column("doc_b").combine_chunks()
+        return pa.table({
+            "nbr": pa.concat_arrays([a, b]),   # propagate in BOTH directions
+            "node": pa.concat_arrays([b, a]),
+        })
+
+    edges_ds = pairs.map_batches(both_dirs, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+    labels_ds = grouped_agg(
+        edges_ds, ["node"], [(None, "count", "c")], final="ray",
+    ).map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "label": t.column("node")}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
     prev_sum = None
     for _ in range(max_rounds):
         nbr_labels = labels_ds.map_batches(
@@ -937,20 +1031,33 @@ def _clusters_label_propagation(pairs: pa.Table,
                      "rep_id": out.column("label")})
 
 
-def dedup_clusters(pairs: pa.Table,
+def dedup_clusters(pairs,
                    max_driver_pairs: int = _UNION_FIND_MAX_PAIRS) -> pa.Table:
-    """(doc_a, doc_b) pairs -> (doc_id, rep_id): connected components with
-    the component's min doc_id as canonical representative.
+    """(doc_a, doc_b) pairs (Table or Dataset) -> (doc_id, rep_id):
+    connected components with the component's min doc_id as canonical
+    representative.
 
     At or below ``max_driver_pairs`` this is driver-side union-find (path
     compression + union by min): the pair set is post-LSH-verified and
     star-capped, so it is corpus-bounded, and one machine handles millions
     of pairs in seconds.  Above the threshold the distributed iterative
-    min-label-propagation plan runs (`_clusters_label_propagation`) — both
-    paths are exact and pinned equivalent by tests/test_dedup.py.
+    min-label-propagation plan runs (`_clusters_label_propagation`) over
+    the pair DATASET — the pair set never lands on the driver on that
+    path — and both paths are exact and pinned equivalent by
+    tests/test_dedup.py.
     """
-    if pairs.num_rows > max_driver_pairs:
-        return _clusters_label_propagation(pairs)
+    if not isinstance(pairs, pa.Table):
+        pairs = pairs.materialize()
+        if pairs.count() > max_driver_pairs:
+            return _clusters_label_propagation(pairs)
+        blocks = [blk.select(["doc_a", "doc_b"])
+                  for blk in _arrow_blocks(pairs)]
+        pairs = (pa.concat_tables(blocks, promote_options="default")
+                 if blocks else _PAIRS_SCHEMA.empty_table()
+                 .select(["doc_a", "doc_b"]))
+    elif pairs.num_rows > max_driver_pairs:
+        return _clusters_label_propagation(
+            ray.data.from_arrow(pairs).materialize())
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

@@ -166,11 +166,16 @@ def dedup_increment(
         touched = broadcast_semi_anti(index, new_keys, on="band_key")
 
     # 3. shared star-capped pair generation; keep pairs touching a new doc
+    # (new_ids is increment-sized — safe to close over and ship per task)
     pairs = _candidate_pairs(touched.union(new_bands))
-    if pairs.num_rows:
-        is_new_a = pc.is_in(pairs.column("doc_a"), value_set=new_ids)
-        is_new_b = pc.is_in(pairs.column("doc_b"), value_set=new_ids)
-        pairs = pairs.filter(pc.or_(is_new_a, is_new_b))
+
+    def touches_new(b: pa.Table) -> pa.Table:
+        return b.filter(pc.or_(
+            pc.is_in(b.column("doc_a"), value_set=new_ids),
+            pc.is_in(b.column("doc_b"), value_set=new_ids)))
+
+    pairs = pairs.map_batches(touches_new, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
     # 4. exact verification over (corpus ∪ increment); explode is
     # candidate-only on both sides

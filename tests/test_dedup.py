@@ -182,10 +182,11 @@ def test_minhash_shuffle_verify_matches_broadcast(ray_session):
     def shingle_elements(text):
         return [h - (1 << 63) for h in shingles((text or "").split(), n=3)]
 
-    _, elements = _cand_elements(ds, pairs_table, shingle_elements)
+    elements = _cand_elements(ds, pairs_table,
+                              shingle_elements).materialize()
     shuffled = _verify_pairs_shuffle(pairs_table, elements,
                                      thr_num=500_000, thr_den=1_000_000)
-    assert as_set(shuffled.to_pylist()) == as_set(new)
+    assert as_set(shuffled.take_all()) == as_set(new)
 
 
 def test_simhash_hamming_finds_planted_neardups(ray_session):
@@ -242,9 +243,10 @@ def test_lsh_flood_bucket_emits_star_pairs(ray_session):
     })
     ds = ray.data.from_arrow(tab)
 
-    cand = _candidate_pairs(_band_rows(ds, 3))
-    assert cand.num_rows == m - 1          # star, not all-pairs
-    assert set(cand.column("doc_a").to_pylist()) == {1}  # bucket min
+    cand = _candidate_pairs(_band_rows(ds, 3))  # Dataset (r04: streams)
+    assert cand.count() == m - 1           # star, not all-pairs
+    cand_pd = cand.to_pandas()
+    assert set(cand_pd["doc_a"]) == {1}    # bucket min
 
     pairs = minhash_lsh_pairs(ds, shingle_n=3, jaccard_threshold=0.5)
     clusters = dedup_clusters(pairs)
@@ -413,8 +415,8 @@ def test_cand_elements_bloom_path_identical(ray_session):
 
     results = []
     for threshold in (10**9, 0):  # exact path, then forced Bloom path
-        _, elements = _cand_elements(ds, pairs_table, shingle_elements,
-                                     bloom_threshold=threshold)
+        elements = _cand_elements(ds, pairs_table, shingle_elements,
+                                  bloom_threshold=threshold)
         out = _verify_pairs_gather(pairs_table, elements,
                                    thr_num=500_000, thr_den=1_000_000)
         results.append({(r["doc_a"], r["doc_b"], r["inter"], r["uni"])
