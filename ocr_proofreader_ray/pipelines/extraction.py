@@ -417,7 +417,7 @@ def run_pass2_group(cfg: ExtractionConfig, chunk_ids: list[int],
     # single-chunk fast path: no path tagging or partitioned write needed
     single = len(chunk_ids) == 1
     ds = ray.data.read_parquet(
-        raw_files, columns=["url", "lang", "raw_text", "n_chars"],
+        raw_files, columns=["url", "lang", "raw_text", "n_chars", "truncated"],
         include_paths=not single)
     if not single:
         ds = ds.map_batches(_tag_chunk_from_dir, batch_format="pyarrow",

@@ -10,6 +10,7 @@ every batch the actor ever sees.  ``__call__`` is the per-batch hot path.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ocr_proofreader_ray.functions.dictionary import load_dicts
 from ocr_proofreader_ray.functions.line_join import join_lines
@@ -30,6 +31,10 @@ EXTRACTED_SCHEMA = pa.schema(
         # extracted_text[s.start:s.end] is exactly paragraph i, and
         # paragraphs are separated by "\n\n"
         ("paragraph_spans", SPAN_TYPE),
+        # lineage: html exceeded the whale byte cap and was truncated before
+        # parsing (north_rule truncate-with-lineage-flag contract) — rides
+        # from the pass-1 raw output into the shipped artifact
+        ("truncated", pa.bool_()),
     ]
 )
 
@@ -76,6 +81,9 @@ class Corrector:
     def __call__(self, batch: pa.Table) -> pa.Table:
         langs = batch.column("lang").to_pylist()
         texts = batch.column("raw_text").to_pylist()
+        truncated = (batch.column("truncated")
+                     if "truncated" in batch.schema.names
+                     else pa.array([False] * batch.num_rows, pa.bool_()))
         outs, n_lines, n_tokens, spans = [], [], [], []
         for lang, text in zip(langs, texts):
             final, nl, nt = self.correct_one(lang, text)
@@ -92,6 +100,7 @@ class Corrector:
                 "n_tokens": pa.array(n_tokens, pa.int32()),
                 "n_chars": pa.array([len(t) for t in outs], pa.int64()),
                 "paragraph_spans": pa.array(spans, SPAN_TYPE),
+                "truncated": pc.cast(truncated, pa.bool_()),
             },
             schema=EXTRACTED_SCHEMA,
         )

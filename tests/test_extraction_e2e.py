@@ -249,6 +249,16 @@ def test_whale_truncation_capped_and_counted(ray_session, pages_dir, tmp_path):
         total += rec["counters"]["extract"]["docs_truncated"]
     assert total == len(expect_truncated)
 
+    # the lineage flag rides into the SHIPPED artifact too (north_rule
+    # truncate-with-lineage-flag): final extracted rows carry `truncated`
+    final_flags = {}
+    for f in glob.glob(str(tmp_path / "capped/extracted/chunk-*/*.parquet")):
+        t = pq.read_table(f, columns=["url", "truncated"])
+        final_flags.update(zip(t.column("url").to_pylist(),
+                               t.column("truncated").to_pylist()))
+    assert {u for u, fl in final_flags.items() if fl} == expect_truncated
+    assert len(final_flags) == len(sizes)
+
 
 def test_whale_cap_change_invalidates_resume(ray_session, pages_dir, tmp_path):
     """Resuming with a different whale cap must re-run, not reuse, completed
