@@ -9,6 +9,7 @@ same division expression on both engines.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -231,7 +232,40 @@ def predict_lang(text: str) -> str:
     return best_lang if best_score > 0 else "und"
 
 
-@register("q_lang_id")
+@register(
+    "q_lang_id",
+    sql="""
+    WITH scores AS (
+        SELECT lang,
+          len(list_filter(string_split(lower(text), ' '), x -> x IN
+            ('der','die','das','und','ist','nicht','mit','von','für','auch')))
+            AS s_de,
+          len(list_filter(string_split(lower(text), ' '), x -> x IN
+            ('the','and','of','to','in','is','was','for','with','that')))
+            AS s_en,
+          len(list_filter(string_split(lower(text), ' '), x -> x IN
+            ('el','la','los','las','que','de','en','un','una','por')))
+            AS s_es,
+          len(list_filter(string_split(lower(text), ' '), x -> x IN
+            ('le','la','les','de','un','une','et','pour','dans','que')))
+            AS s_fr,
+          len(list_filter(string_split(lower(text), ' '), x -> x IN
+            ('shi','de','yi','bu','le','ren','zai','you','ta','zhe')))
+            AS s_zh
+        FROM documents
+    ), pred AS (
+        SELECT lang,
+          CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+               WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+               WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+               WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+               WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+               ELSE 'zh' END AS predicted
+        FROM scores
+    )
+    SELECT lang, predicted, count(*) AS n FROM pred GROUP BY lang, predicted
+    """,
+)
 def q_lang_id(sf_dir: str):
     """Confusion counts of heuristic language-ID vs the labeled lang column.
 
@@ -1472,7 +1506,39 @@ _BM25_B = 0.75
 _BM25_QUERY = ("spark", "window", "hash")  # deterministic fixed query
 
 
-@register("q_bm25_topk")  # float log scoring: rows-only driver check
+@register(
+    "q_bm25_topk",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_filter(string_split(text, ' '),
+                               x -> x = 'spark')) AS tf0,
+               len(list_filter(string_split(text, ' '),
+                               x -> x = 'window')) AS tf1,
+               len(list_filter(string_split(text, ' '),
+                               x -> x = 'hash')) AS tf2
+        FROM documents
+    ), stats AS (
+        SELECT count(*) AS n, sum(n_tok) AS st,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        FROM toks
+    )
+    SELECT doc_id,
+           ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0)
+               / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * n_tok / (st / n)))
+         + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0)
+               / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * n_tok / (st / n)))
+         + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0)
+               / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * n_tok / (st / n)))
+               AS score
+    FROM toks, stats
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
 def q_bm25_topk(sf_dir: str, query: tuple = _BM25_QUERY, k: int = 10):
     """BM25 top-k document retrieval for a fixed term query — the textual
     complement of the ANN queries (B15): score EVERY document against the
@@ -1528,8 +1594,12 @@ def q_bm25_topk(sf_dir: str, query: tuple = _BM25_QUERY, k: int = 10):
     n_corpus = int(merged.column("n_docs")[0].as_py())
     avgdl = (int(merged.column("sum_tokens")[0].as_py()) / n_corpus
              if n_corpus else 1.0)
+    # math.log (libm), NOT np.log: DuckDB ln() is bit-identical to libm
+    # (verified 0 ulp over 1e5 samples) while numpy's SIMD log drifts up
+    # to 2 ulp — with exact-order arithmetic everywhere else this makes
+    # the float score hash-match the SQL oracle
     idf = np.asarray([
-        np.log(1.0 + (n_corpus - df + 0.5) / (df + 0.5))
+        math.log(1.0 + (n_corpus - df + 0.5) / (df + 0.5))
         for df in (int(merged.column(f"df_{i}")[0].as_py())
                    for i in range(len(query)))
     ])
