@@ -985,7 +985,61 @@ def _pmod(col, m: int):
     return pc.subtract(col, pc.multiply(pc.divide(col, m), m))
 
 
-@register("q_pack_sequences")  # stateful greedy packing: rows-only check
+@register(
+    "q_pack_sequences",
+    # FFD is sequential per group, but groups are doc-id ranges and DuckDB
+    # recursive CTEs can carry the bin-capacity list as row state — so even
+    # this stateful operator gets a hash-exact oracle.  list_position
+    # returns 0 (not NULL) on no-match: NULLIF turns it into the no-fit
+    # branch.
+    sql="""
+    WITH RECURSIVE
+    docs_t AS (
+        SELECT doc_id,
+               len(text) - len(replace(text, ' ', '')) + 1 AS tokens,
+               doc_id // 512 AS grp
+        FROM documents
+    ),
+    ordered AS (
+        SELECT grp, tokens, doc_id,
+               CAST(row_number() OVER (PARTITION BY grp
+                    ORDER BY tokens DESC, doc_id) AS BIGINT) AS rn
+        FROM docs_t
+    ),
+    ffd(grp, rn, caps, bins) AS (
+        SELECT grp, CAST(0 AS BIGINT), []::BIGINT[], []::BIGINT[]
+        FROM (SELECT DISTINCT grp FROM ordered)
+        UNION ALL
+        SELECT f.grp, f.rn + 1,
+               CASE WHEN p.pos IS NULL
+                    THEN list_append(f.caps, greatest(0, 256 - o.tokens))
+                    ELSE list_transform(f.caps, (c, i) ->
+                         CASE WHEN i = p.pos THEN c - o.tokens ELSE c END)
+               END,
+               list_append(f.bins,
+                   CASE WHEN p.pos IS NULL THEN len(f.caps)
+                        ELSE p.pos - 1 END)
+        FROM ffd f
+        JOIN ordered o ON o.grp = f.grp AND o.rn = f.rn + 1
+        CROSS JOIN LATERAL (SELECT nullif(list_position(
+            list_transform(f.caps, c -> c >= o.tokens), true), 0) AS pos) p
+    ),
+    final AS (
+        SELECT grp, bins FROM ffd
+        QUALIFY rn = max(rn) OVER (PARTITION BY grp)
+    ),
+    assigned AS (
+        SELECT o.grp, o.tokens, f.bins[CAST(o.rn AS INT)] AS bin
+        FROM ordered o JOIN final f ON o.grp = f.grp
+    )
+    SELECT grp * 512 + bin AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(tokens) AS BIGINT) / 256.0 AS fill_frac,
+           CAST(sum(tokens) AS BIGINT) > 256 AS overflow
+    FROM assigned GROUP BY grp, bin
+    """,
+)
 def q_pack_sequences(sf_dir: str, budget: int = 256, group_docs: int = 512):
     """Sequence packing: pack documents into fixed-token-budget training
     rows (context-length packing), first-fit-decreasing per deterministic
