@@ -2125,6 +2125,116 @@ def q_csv_source_roundtrip(sf_dir: str):
 
 
 @register(
+    "q_json_source_roundtrip",
+    sql="""
+    SELECT s_nationkey, count(*) AS n,
+           CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def q_json_source_roundtrip(sf_dir: str):
+    """JSON-lines source path (B1 source breadth, completing the
+    parquet/CSV/JSON source matrix): the supplier table exported to JSON
+    once per run, re-read with ``ray.data.read_json``, and aggregated.
+
+    Floats do NOT survive a JSON text roundtrip bit-exactly (measured:
+    pandas-side serialization drops ulps), so the cents quantization runs
+    BEFORE the sink — integers roundtrip exactly, and the oracle hash
+    then proves the whole JSON write→read→aggregate path value-exact."""
+    import os
+    import shutil
+
+    out = os.path.join("/tmp/opr_json_src",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    marker = os.path.join(out, "_done")
+    fp = _source_fingerprint(f"{sf_dir}/supplier.parquet")
+    if _stale(marker, fp):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+
+        def quantize(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "s_nationkey": b.column("s_nationkey"),
+                "bal_cents": to_units(b.column("s_acctbal"), 100),
+            })
+
+        t(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]) \
+            .map_batches(quantize, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .write_json(os.path.join(out, "supplier.json"))
+        with open(marker, "w") as f:
+            f.write(fp)
+
+    ds = ray.data.read_json(os.path.join(out, "supplier.json"))
+    return grouped_agg(ds, ["s_nationkey"],
+                       [(None, "count", "n"), ("bal_cents", "sum", "bal_cents")])
+
+
+@register(
+    "q_price_percentiles_cont",
+    sql="""
+    SELECT l_returnflag,
+           quantile_cont(cents, 0.25) AS p25,
+           quantile_cont(cents, 0.50) AS p50,
+           quantile_cont(cents, 0.75) AS p75
+    FROM (SELECT l_returnflag,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def q_price_percentiles_cont(sf_dir: str):
+    """INTERPOLATED (``quantile_cont``/``percentile_cont``) p25/p50/p75 per
+    return flag — the other standard percentile semantics next to
+    q_price_quartiles' ``quantile_disc``.
+
+    quantile_cont(q) = v[floor(h)] + (h - floor(h)) * (v[ceil(h)] -
+    v[floor(h)]) with h = (n-1)*q over the 0-based sorted values (probed
+    against DuckDB at n=4..7, exact float equality).  The engine fetches
+    the two order statistics per (group, q) with ``grouped_kth_smallest``
+    (driver gather under the size gate, distributed bisection above) and
+    interpolates on the driver with the IDENTICAL float expression —
+    exact-integer inputs make the interpolation hash-exact."""
+    import math
+
+    from ocr_proofreader_ray.ops.selection import grouped_kth_smallest
+
+    li = t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "cents": to_units(b.column("l_extendedprice"), 100),
+        })
+
+    ds = li.map_batches(cents, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    sizes = grouped_agg(ds, ["l_returnflag"], [(None, "count", "n")])
+    qs = (0.25, 0.50, 0.75)
+    hs = {g: [(int(n) - 1) * q for q in qs]
+          for g, n in zip(sizes.column("l_returnflag").to_pylist(),
+                          sizes.column("n").to_pylist())}
+    # 1-based floor/ceil ranks per (group, q), deduplicated
+    ranks = {g: sorted({r for h in hh
+                        for r in (math.floor(h) + 1, math.ceil(h) + 1)})
+             for g, hh in hs.items()}
+    vals = grouped_kth_smallest(ds, "l_returnflag", "cents", ranks)
+    flags = sorted(hs)
+    cols: dict = {"l_returnflag": pa.array(flags, pa.string())}
+    for qi, (q, name) in enumerate(zip(qs, ("p25", "p50", "p75"))):
+        out = []
+        for g in flags:
+            h = hs[g][qi]
+            by_rank = dict(zip(ranks[g], vals[g]))
+            lo = by_rank[math.floor(h) + 1]
+            hi = by_rank[math.ceil(h) + 1]
+            out.append(lo + (h - math.floor(h)) * (hi - lo))
+        cols[name] = pa.array(out, pa.float64())
+    return pa.table(cols)
+
+
+@register(
     "q_winsorized_prices",
     sql="""
     WITH cents AS (
