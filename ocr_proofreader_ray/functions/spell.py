@@ -188,11 +188,26 @@ class SpellCorrector:
 
         Returns (final_text, n_lines, n_tokens) where paragraphs are joined
         with blank lines — the engine's canonical extracted_text layout.
+
+        The token cache is probed INLINE here (one dict.get per token in
+        steady state) instead of through ``transform_token`` — the per-call
+        Python frame was ~30% of warm pass-2 time at 140 tokens/doc; the
+        miss path still goes through ``transform_token`` so memoization and
+        policy stay in one place.
         """
+        cache = self._token_cache
+        transform = self.transform_token
+        miss = "\x00"
         out_paras: list[str] = []
         n_tokens = 0
         for para in paragraphs:
-            kept = [t for t in (self.transform_token(tok) for tok in para.split()) if t is not None]
+            kept = []
+            for tok in para.split():
+                v = cache.get(tok, miss)
+                if v == miss:
+                    v = transform(tok)
+                if v is not None:
+                    kept.append(v)
             n_tokens += len(kept)
             if kept:
                 out_paras.append(" ".join(kept))
