@@ -466,3 +466,62 @@ def test_segment_dedup_ray_final_path(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         driver.sort_values(key).reset_index(drop=True),
         got[driver.columns].sort_values(key).reset_index(drop=True))
+
+
+def test_candidate_pairs_ray_exchange_branch_equivalent(ray_session,
+                                                        monkeypatch):
+    """Force the above-gate Ray-exchange pair dedup (the 100-TB path that
+    normally needs >5M pairs) and pin it identical to the driver-combiner
+    branch — same distinct pair set, streaming all the way."""
+    import ray.data
+
+    import ocr_proofreader_ray.pipelines.dedup as dd
+
+    base = " ".join(f"tok{i % 40}x{i % 7}" for i in range(120))
+    rows = [{"doc_id": d, "text": base} for d in (1, 2, 3, 4)]
+    rows += [{"doc_id": d, "text": " ".join(f"u{d}w{i}" for i in range(60))}
+             for d in range(5, 40)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    small = dd._candidate_pairs(dd._band_rows(ds, 3)).to_pandas()
+    monkeypatch.setattr(dd, "_PAIRS_DRIVER_MAX", 0)
+    big = dd._candidate_pairs(dd._band_rows(ds, 3)).to_pandas()
+
+    canon = lambda df: sorted(map(tuple, df[["doc_a", "doc_b"]].to_numpy()))
+    assert canon(small) == canon(big)
+    assert len(small) == len(set(canon(small)))  # globally distinct
+    assert (1, 2) in canon(small)
+
+
+def test_verify_pairs_streaming_shuffle_threshold_joins(ray_session,
+                                                        monkeypatch):
+    """Force the fully-streaming verify plan (Dataset pairs + Ray-side size
+    joins + threshold map) and pin it equal to the gather plan."""
+    import ray.data
+
+    import ocr_proofreader_ray.pipelines.dedup as dd
+
+    base = " ".join(f"tok{i % 40}x{i % 7}" for i in range(120))
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base.replace("tok3x3", "changed", 1)},
+        {"doc_id": 3, "text": " ".join(f"zzz{i}" for i in range(120))},
+        {"doc_id": 4, "text": base},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    pairs = dd._candidate_pairs(dd._band_rows(ds, 3))
+
+    def shingle_elements(text):
+        return [h - (1 << 63) for h in shingles((text or "").split(), n=3)]
+
+    want = dd._verify_pairs(ds, pairs, shingle_elements,
+                            thr_num=500_000, thr_den=1_000_000)
+    monkeypatch.setattr(dd, "_GATHER_MAX_ELEMENTS", 0)
+    got = dd._verify_pairs(ds, pairs, shingle_elements,
+                           thr_num=500_000, thr_den=1_000_000)
+    got = got.to_pandas() if not isinstance(got, pa.Table) else got.to_pandas()
+    want = want.to_pandas() if not isinstance(want, pa.Table) \
+        else want.to_pandas()
+    canon = lambda df: sorted(map(tuple, df.to_numpy()))
+    assert canon(got) == canon(want)
+    assert any(r[:2] == (1, 4) for r in canon(got))
