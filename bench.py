@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "q_embedding_pca",
     "q_fuzzy_name_pairs",
     "q_llm_prep_corpus",
+    # round-4 operators
+    "q_json_source_roundtrip",
+    "q_price_percentiles_cont",
+    "q_lang_id",
 ]
 
 
