@@ -345,11 +345,15 @@ def _verify_pairs(docs, pairs, element_rows,
     the shuffle path — at that scale the verified set must not concentrate
     either."""
     pairs = _pairs_ds(pairs)
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return _PAIRS_SCHEMA.empty_table()
     elements = _cand_elements(docs, pairs, element_rows)
     elements = elements.materialize()
-    if elements.count() <= _GATHER_MAX_ELEMENTS:
+    # the gather plan puts BOTH the element rows and the pair list on the
+    # driver, so both must clear the gate (a flood of one-shingle docs
+    # could otherwise pass a tiny element count with a huge pair list)
+    if max(elements.count(), n_pairs) <= _GATHER_MAX_ELEMENTS:
         return _verify_pairs_gather(pairs, elements,
                                     thr_num=thr_num, thr_den=thr_den)
     return _verify_pairs_shuffle(pairs, elements,
