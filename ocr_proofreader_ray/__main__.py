@@ -97,6 +97,16 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_prep(args) -> int:
+    from ocr_proofreader_ray.pipelines.prep import q_llm_prep_corpus
+
+    _init_ray(args.num_cpus)
+    lineage = q_llm_prep_corpus(args.sf_dir, resume=args.resume)
+    for row in lineage.to_pylist():
+        print(json.dumps(row))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="ocr_proofreader_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -117,6 +127,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--files-per-chunk", type=int, default=64)
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_build_dict)
+
+    p = sub.add_parser(
+        "prep", help="run the composed LLM prep pipeline "
+        "(dedup → decontaminate → cap → sample, stage-checkpointed)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--resume", action="store_true",
+                   help="skip stages whose checkpoint fingerprint matches")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_prep)
 
     p = sub.add_parser("query", help="run a registered query by name")
     p.add_argument("name")
