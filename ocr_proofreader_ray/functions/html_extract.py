@@ -214,6 +214,9 @@ def parse_html(html: bytes | str) -> _Node:
             continue  # comment / doctype / CDATA
         if not tag.islower():
             tag = tag.lower()
+        if end_slash:  # end tag (checked first: selfclose is irrelevant)
+            endtag(tag)
+            continue
         # self-closing detection: the greedy attr group swallows a trailing
         # "/" (it matches [^>"']), so group(4) alone misses e.g. <br/> and
         # <circle r='1'/>.  Recover it when the "/" terminates the attr run
@@ -226,9 +229,7 @@ def parse_html(html: bytes | str) -> _Node:
         selfclose = bool(close_slash) or (
             attrs_text.endswith("/")
             and (len(attrs_text) == 1 or attrs_text[-2] in " \t\r\n\"'"))
-        if end_slash:  # end tag
-            endtag(tag)
-        elif selfclose:  # self-closing
+        if selfclose:  # self-closing
             startend(tag, ())
         else:
             starttag(tag, ())
