@@ -14,7 +14,7 @@ from collections import Counter
 import pyarrow as pa
 
 from ocr_proofreader_ray.functions.html_extract import extract_main_text
-from ocr_proofreader_ray.functions.tokenize import count_tokens
+from ocr_proofreader_ray.functions.tokenize import dict_tokens
 
 RAW_SCHEMA = pa.schema(
     [
@@ -92,8 +92,10 @@ def tokenize_count_batch(batch: pa.Table) -> pa.Table:
     langs = batch.column("lang").to_pylist()
     texts = batch.column("raw_text").to_pylist()
     for cid, lang, text in zip(chunks, langs, texts):
+        # update with the raw token LIST: Counter counts it in C; building
+        # a per-doc Counter first and merging dicts was ~20% slower
         per_key.setdefault((cid, lang), Counter()).update(
-            count_tokens(text or ""))
+            dict_tokens(text or ""))
     out_cid, out_lang, out_tok, out_cnt = [], [], [], []
     # None-safe key order: a null lang must not crash the sort
     for cid, lang in sorted(per_key,
