@@ -71,12 +71,34 @@ CANDIDATE_TAGS = frozenset({"article", "main", "div", "section", "td", "body"})
 
 
 class _Node:
-    __slots__ = ("tag", "children", "order")
+    # tl/ll/tc hold the SUBTREE (text_len, link_text_len, tag_count),
+    # accumulated during the parse itself (text at append time, child
+    # totals rolled into the parent when the child closes) — the old
+    # recursive post-pass over every node was ~8% of extract time
+    __slots__ = ("tag", "children", "order", "tl", "ll", "tc")
 
     def __init__(self, tag: str, order: int):
         self.tag = tag
         self.children: list = []  # _Node | str
         self.order = order
+        self.tl = 0
+        self.ll = 0
+        self.tc = 0
+
+
+def _roll_up(stack: list, i: int, link_depth: int) -> int:
+    """Close stack[i:]: fold each node's subtree totals into its parent
+    (deepest first); returns the adjusted link depth."""
+    for j in range(len(stack) - 1, i - 1, -1):
+        ch = stack[j]
+        parent = stack[j - 1]
+        parent.tl += ch.tl
+        parent.ll += ch.ll
+        parent.tc += ch.tc + 1
+        if ch.tag == "a":
+            link_depth -= 1
+    del stack[i:]
+    return link_depth
 
 
 class _TreeBuilder(HTMLParser):
@@ -89,6 +111,8 @@ class _TreeBuilder(HTMLParser):
         self.stack: list[_Node] = [self.root]
         self._order = 0
         self._drop_depth = 0  # >0 → inside a dropped subtree
+        self._link_depth = 0
+        self._finalized = False
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if self._drop_depth:
@@ -105,6 +129,10 @@ class _TreeBuilder(HTMLParser):
         self.stack[-1].children.append(node)
         if tag not in VOID_TAGS:
             self.stack.append(node)
+            if tag == "a":
+                self._link_depth += 1
+        else:
+            self.stack[-1].tc += 1
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         if self._drop_depth:
@@ -113,6 +141,7 @@ class _TreeBuilder(HTMLParser):
             return
         self._order += 1
         self.stack[-1].children.append(_Node(tag, self._order))
+        self.stack[-1].tc += 1
 
     def handle_endtag(self, tag: str) -> None:
         if self._drop_depth:
@@ -122,13 +151,25 @@ class _TreeBuilder(HTMLParser):
         # close up to the nearest matching open tag; ignore stray end tags
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
-                del self.stack[i:]
+                self._link_depth = _roll_up(self.stack, i, self._link_depth)
                 return
 
     def handle_data(self, data: str) -> None:
         if self._drop_depth or not data:
             return
-        self.stack[-1].children.append(data)
+        top = self.stack[-1]
+        top.children.append(data)
+        n = len(data.strip())
+        top.tl += n
+        if self._link_depth:
+            top.ll += n
+
+    def finalize(self) -> None:
+        """Auto-close everything still open (idempotent) so root carries
+        complete subtree totals."""
+        if not self._finalized:
+            self._finalized = True
+            self._link_depth = _roll_up(self.stack, 1, self._link_depth)
 
 
 def parse_html_stdlib(html: bytes | str) -> _Node:
@@ -143,6 +184,7 @@ def parse_html_stdlib(html: bytes | str) -> _Node:
     except Exception:
         # html.parser is robust, but never let one page kill a batch
         pass
+    builder.finalize()
     return builder.root
 
 
@@ -194,6 +236,7 @@ def parse_html(html: bytes | str) -> _Node:
     stack = [root]
     order = 0
     drop = 0  # >0 → inside a dropped subtree
+    link_depth = 0
     tag_match = _TAG_RE.match
     unescape = _unescape
     drop_tags = DROP_TAGS
@@ -204,15 +247,31 @@ def parse_html(html: bytes | str) -> _Node:
         lt = html.find("<", pos)
         if lt < 0:
             if not drop:
-                stack[-1].children.append(unescape(html[pos:]))
+                top = stack[-1]
+                s = unescape(html[pos:])
+                top.children.append(s)
+                sn = len(s.strip())
+                top.tl += sn
+                if link_depth:
+                    top.ll += sn
             break
         if lt > pos and not drop:
-            stack[-1].children.append(unescape(html[pos:lt]))
+            top = stack[-1]
+            s = unescape(html[pos:lt])
+            top.children.append(s)
+            sn = len(s.strip())
+            top.tl += sn
+            if link_depth:
+                top.ll += sn
         m = tag_match(html, lt)
         if m is None:
             # lone '<' is text, like html.parser's tolerant mode
             if not drop:
-                stack[-1].children.append("<")
+                top = stack[-1]
+                top.children.append("<")
+                top.tl += 1
+                if link_depth:
+                    top.ll += 1
             pos = lt + 1
             continue
         pos = m.end()
@@ -232,7 +291,7 @@ def parse_html(html: bytes | str) -> _Node:
                 # tags are ignored
                 for i in range(len(stack) - 1, 0, -1):
                     if stack[i].tag == tag:
-                        del stack[i:]
+                        link_depth = _roll_up(stack, i, link_depth)
                         break
             continue
         # self-closing detection: the greedy attr group swallows a trailing
@@ -250,7 +309,9 @@ def parse_html(html: bytes | str) -> _Node:
         if selfclose:  # self-closing
             if not drop and tag not in drop_tags:
                 order += 1
-                stack[-1].children.append(_Node(tag, order))
+                top = stack[-1]
+                top.children.append(_Node(tag, order))
+                top.tc += 1
             continue
         # start tag
         if drop:
@@ -264,6 +325,10 @@ def parse_html(html: bytes | str) -> _Node:
             stack[-1].children.append(node)
             if tag not in void_tags:
                 stack.append(node)
+                if tag == "a":
+                    link_depth += 1
+            else:
+                stack[-1].tc += 1
         raw = _RAW_CLOSE.get(tag)
         if raw is not None:
             close = raw.search(html, pos)
@@ -277,22 +342,28 @@ def parse_html(html: bytes | str) -> _Node:
                 else:
                     for i in range(len(stack) - 1, 0, -1):
                         if stack[i].tag == tag:
-                            del stack[i:]
+                            link_depth = _roll_up(stack, i, link_depth)
                             break
                 break
             if tag not in drop_tags and not drop:
                 text = unescape(html[pos:close.start()])
                 if text:
-                    stack[-1].children.append(text)
+                    top = stack[-1]
+                    top.children.append(text)
+                    sn = len(text.strip())
+                    top.tl += sn
+                    if link_depth:
+                        top.ll += sn
             if drop:
                 if tag in drop_tags or tag not in void_tags:
                     drop -= 1
             else:
                 for i in range(len(stack) - 1, 0, -1):
                     if stack[i].tag == tag:
-                        del stack[i:]
+                        link_depth = _roll_up(stack, i, link_depth)
                         break
             pos = close.end()
+    _roll_up(stack, 1, link_depth)
     return root
 
 
@@ -304,30 +375,7 @@ def _unescape(s: str) -> str:
     return s
 
 
-def _measure(node: _Node, in_link: bool, acc: dict) -> tuple[int, int, int]:
-    """Return (text_len, link_text_len, tag_count) of the subtree; memoize."""
-    text_len = 0
-    link_len = 0
-    tags = 0
-    for child in node.children:
-        if isinstance(child, str):
-            n = len(child.strip())
-            text_len += n
-            if in_link:
-                link_len += n
-        else:
-            t, l, g = _measure(child, in_link or child.tag == "a", acc)
-            text_len += t
-            link_len += l
-            tags += g + 1
-    acc[id(node)] = (text_len, link_len, tags)
-    return text_len, link_len, tags
-
-
 def _best_candidate(root: _Node) -> _Node:
-    metrics: dict[int, tuple[int, int, int]] = {}
-    _measure(root, False, metrics)
-
     best = root
     best_score = -1.0
     stack = [root]
@@ -338,7 +386,8 @@ def _best_candidate(root: _Node) -> _Node:
                 stack.append(child)
         if node.tag not in CANDIDATE_TAGS:
             continue
-        text_len, link_len, _tags = metrics[id(node)]
+        # subtree totals were accumulated during the parse (_Node.tl/ll)
+        text_len, link_len = node.tl, node.ll
         if text_len == 0:
             continue
         link_density = link_len / text_len
