@@ -19,8 +19,9 @@ from __future__ import annotations
 from collections.abc import Container
 
 
-def join_paragraph(lines: list[str], dictionary: Container[str]) -> str:
-    """Reflow one paragraph's hard-wrapped lines into a single logical line."""
+def join_paragraph_tokens(lines: list[str],
+                          dictionary: Container[str]) -> list[str]:
+    """Reflow one paragraph's hard-wrapped lines into its token list."""
     out: list[str] = []
     pending: str | None = None  # word fragment from a trailing-hyphen line
     for line in lines:
@@ -44,15 +45,21 @@ def join_paragraph(lines: list[str], dictionary: Container[str]) -> str:
     if pending is not None:
         # dangling fragment at paragraph end: the hyphen was literal
         out.append(pending + "-")
-    return " ".join(out)
+    return out
 
 
-def join_lines(text: str, dictionary: Container[str]) -> list[str]:
-    """Split ``text`` on blank lines and reflow each paragraph.
+def join_paragraph(lines: list[str], dictionary: Container[str]) -> str:
+    """Reflow one paragraph's hard-wrapped lines into a single logical line."""
+    return " ".join(join_paragraph_tokens(lines, dictionary))
 
-    Returns the list of reflowed paragraph strings (empty paragraphs dropped).
-    """
-    paragraphs: list[str] = []
+
+def join_lines_tokens(text: str,
+                      dictionary: Container[str]) -> list[list[str]]:
+    """Split ``text`` on blank lines and reflow each paragraph to its TOKEN
+    LIST (empty paragraphs dropped) — the corrector consumes tokens
+    directly; joining to a string and re-splitting was measurable waste in
+    the pass-2 hot path."""
+    paragraphs: list[list[str]] = []
     current: list[str] = []
     for line in text.split("\n"):
         if line.strip():
@@ -62,5 +69,13 @@ def join_lines(text: str, dictionary: Container[str]) -> list[str]:
             current = []
     if current:
         paragraphs.append(current)
-    joined = [join_paragraph(p, dictionary) for p in paragraphs]
+    joined = [join_paragraph_tokens(p, dictionary) for p in paragraphs]
     return [p for p in joined if p]
+
+
+def join_lines(text: str, dictionary: Container[str]) -> list[str]:
+    """Split ``text`` on blank lines and reflow each paragraph.
+
+    Returns the list of reflowed paragraph strings (empty paragraphs dropped).
+    """
+    return [" ".join(p) for p in join_lines_tokens(text, dictionary)]

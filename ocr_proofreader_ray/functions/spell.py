@@ -188,6 +188,8 @@ class SpellCorrector:
 
         Returns (final_text, n_lines, n_tokens) where paragraphs are joined
         with blank lines — the engine's canonical extracted_text layout.
+        ``paragraphs`` elements may be strings or pre-split token lists
+        (the corrector passes token lists straight from the line joiner).
 
         The token cache is probed INLINE here (one dict.get per token in
         steady state) instead of through ``transform_token`` — the per-call
@@ -202,7 +204,7 @@ class SpellCorrector:
         n_tokens = 0
         for para in paragraphs:
             kept = []
-            for tok in para.split():
+            for tok in (para if isinstance(para, list) else para.split()):
                 v = cache.get(tok, miss)
                 if v == miss:
                     v = transform(tok)

@@ -13,7 +13,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ocr_proofreader_ray.functions.dictionary import load_dicts
-from ocr_proofreader_ray.functions.line_join import join_lines
+from ocr_proofreader_ray.functions.line_join import join_lines_tokens
 from ocr_proofreader_ray.functions.spell import SpellCorrector
 
 SPAN_TYPE = pa.list_(pa.struct([("start", pa.int32()), ("end", pa.int32())]))
@@ -75,7 +75,7 @@ class Corrector:
 
     def correct_one(self, lang: str, raw_text: str) -> tuple[str, int, int]:
         corrector = self._correctors.get(lang, self._empty)
-        paragraphs = join_lines(raw_text or "", corrector.freqs)
+        paragraphs = join_lines_tokens(raw_text or "", corrector.freqs)
         return corrector.transform_text(paragraphs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
