@@ -151,3 +151,31 @@ def test_range_count_join_zero_match_window_is_null_sum(ray_session):
     assert out["n"].tolist() == [2, 0]
     assert int(out["s"].iloc[0]) == 30
     assert pd.isna(out["s"].iloc[1])
+
+
+def test_percentiles_cont_edge_group_sizes(ray_session, tmp_path):
+    """quantile_cont edges: n=1 (all quartiles = the value) and n=2
+    (interpolation between the two values), verified against DuckDB."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from ocr_proofreader_ray.pipelines.relational import (
+        q_price_percentiles_cont,
+    )
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["A", "B", "B"], pa.string()),
+        "l_extendedprice": pa.array([10.00, 1.00, 2.00], pa.float64()),
+    }), f"{sf}/lineitem.parquet")
+    got = q_price_percentiles_cont(sf).to_pandas() \
+        .sort_values("l_returnflag").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf}/lineitem.parquet')")
+    from ocr_proofreader_ray.pipelines.registry import all_oracles
+    want = con.sql(all_oracles()["q_price_percentiles_cont"]).df() \
+        .sort_values("l_returnflag").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
