@@ -399,41 +399,42 @@ def _best_candidate(root: _Node) -> _Node:
     return best
 
 
-def _emit(node: _Node, parts: list[str]) -> None:
-    """Flatten a subtree into text parts; block boundaries insert None-ish
-    paragraph markers (empty strings)."""
-    for child in node.children:
-        if isinstance(child, str):
-            parts.append(child)
-        else:
-            is_block = child.tag in BLOCK_TAGS
-            if is_block:
-                parts.append("\x00")  # paragraph break marker
-            if child.tag == "br":
-                parts.append("\n")
-            _emit(child, parts)
-            if is_block:
-                parts.append("\x00")
-
-
 def node_text(node: _Node) -> str:
     """Paragraph-preserving text of a subtree: blocks separated by blank
-    lines, intra-block newlines preserved, each paragraph stripped."""
-    parts: list[str] = []
-    _emit(node, parts)
+    lines, intra-block newlines preserved, each paragraph stripped.
+
+    One iterative walk flushes paragraph buffers at block boundaries
+    directly — the former recursive emit built a marker-interleaved parts
+    list that a second pass re-scanned (~4% of extract time)."""
     paragraphs: list[str] = []
     buf: list[str] = []
-    for part in parts:
-        if part == "\x00":
-            para = "".join(buf).strip()
-            if para:
-                paragraphs.append(para)
-            buf = []
-        else:
-            buf.append(part)
-    para = "".join(buf).strip()
-    if para:
-        paragraphs.append(para)
+
+    def flush() -> None:
+        para = "".join(buf).strip()
+        if para:
+            paragraphs.append(para)
+        buf.clear()
+
+    # each stack entry is a child to process, or the \x00 sentinel for a
+    # pending block-end flush; children push reversed to keep doc order
+    block_tags = BLOCK_TAGS
+    stack: list = list(reversed(node.children))
+    while stack:
+        child = stack.pop()
+        if child is None:
+            flush()
+            continue
+        if isinstance(child, str):
+            buf.append(child)
+            continue
+        if child.tag in block_tags:
+            flush()
+            stack.append(None)  # block-end flush after the subtree
+            if child.tag == "br":
+                buf.append("\n")
+        for c in reversed(child.children):
+            stack.append(c)
+    flush()
     return "\n\n".join(paragraphs)
 
 
