@@ -356,6 +356,69 @@ def q_embedding_norm_stats(sf_dir: str):
     return agg
 
 
+@register(
+    "q_label_centroids",
+    sql="""
+    WITH q AS (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS dim,
+               unnest(list_transform(embedding,
+                   e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT))) AS qe
+        FROM embeddings
+    )
+    SELECT label, dim,
+           CAST(sum(qe) AS BIGINT) / count(*) AS centroid_mu
+    FROM q GROUP BY label, dim
+    """,
+)
+def q_label_centroids(sf_dir: str):
+    """Exact per-label embedding centroid (the cluster-center /
+    class-prototype building block), hash-exact against SQL despite the
+    float payload: elements quantize to micro-units via the identical
+    widen-then-floor IEEE expression on both engines, per-dim sums stay
+    exact int64 through the combiner, and the final mean is one
+    int/int → double division — deterministic in any summation order.
+
+    Scale plan: each batch reduces to |labels_in_batch| x dim partial rows
+    (one vectorized reshape + per-label row-sum), so the exchange is
+    bounded by labels x dim regardless of corpus size; the centroid table
+    itself is labels x dim rows."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        mat = _batch_matrix(b).astype(np.float64)
+        q = np.floor(mat * 1000000.0 + 0.5).astype(np.int64)
+        labels = np.asarray(b.column("label"))
+        uniq, inv = np.unique(labels, return_inverse=True)
+        dim = q.shape[1]
+        sums = np.zeros((len(uniq), dim), np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim),
+                              b.column("label").type),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                                    len(uniq))),
+            "sum_q": pa.array(sums.reshape(-1), pa.int64()),
+            "n": pa.array(np.repeat(counts, dim), pa.int64()),
+        })
+
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["label", "dim"], [("sum_q", "sum", "sum_q"), ("n", "sum", "n")])
+    sums = np.asarray(agg.column("sum_q"), dtype=np.int64)
+    ns = np.asarray(agg.column("n"), dtype=np.int64)
+    return pa.table({
+        "label": agg.column("label"),
+        "dim": agg.column("dim"),
+        "centroid_mu": pa.array(sums / ns, pa.float64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # distributed PCA over the embedding column (exact-integer moment sums)
 # ---------------------------------------------------------------------------
