@@ -375,15 +375,18 @@ def _corrector_concurrency(cfg: ExtractionConfig) -> tuple[int, int] | int:
     concurrency = cfg.correct_concurrency
     if concurrency is None:
         ncpu = int(ray.cluster_resources().get("CPU", 4))
-        # Fixed prestarted pool of ncpu - max(2, ncpu/8): the reserved CPUs
+        # Fixed prestarted pool of ncpu - max(2, ncpu/4): the reserved CPUs
         # run the read + LPT + write TASKS that feed and drain the pool.
-        # Measured at sf0.1 (2M pages, round 2): reserving only 2 CPUs at 32
-        # starves those tasks — pass-2 31.9s with a 30-actor pool vs 16.0s
-        # with 28 and 15.5s with 24; at 8 CPUs a fixed (6,6) pool beats the
-        # old (7,8) autoscale 45.7s vs 52.6s (autoscale ramp also idles
-        # ~45% of pool-seconds).  A tmpfs-vs-disk A/B at 32 CPUs was a wash
-        # (57.0s both), so the reserve is about CPU slots, not disk.
-        w = max(1, ncpu - max(2, ncpu // 8))
+        # Measured at sf0.1 (2M pages): round 2 showed reserving only 2
+        # CPUs at 32 starves those tasks (pass-2 31.9s with a 30-actor pool
+        # vs 16.0s with 28); after the round-4 corrector kernel wins the
+        # optimum moved NARROWER — the pool finishes its compute faster, so
+        # feeding/draining dominates: pass-2 13.2s with 28 actors vs
+        # ~10.0s with 22-26 (swept 20/22/24/26/28).  At 8 CPUs the
+        # compute-bound optimum stays (6,6) — this formula keeps it.
+        # Autoscale ramp idles ~45% of pool-seconds; tmpfs-vs-disk was a
+        # wash (the reserve is about CPU slots, not disk).
+        w = max(1, ncpu - max(2, ncpu // 4))
         concurrency = (w, w)
     return concurrency
 
