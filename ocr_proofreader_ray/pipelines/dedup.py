@@ -457,6 +457,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     token_sets: dict[int, set[int]] | None = None,
     star_cap: int = _STAR_BUCKET_CAP,
+    bands: "ray.data.Dataset | None" = None,
 ):
     """shingle → minhash → band → bucket-groupby → verified candidate pairs.
 
@@ -470,8 +471,13 @@ def minhash_lsh_pairs(
     and for corpora known to fit in one worker.
     Output columns: (doc_a, doc_b, inter, uni), kept when
     inter/uni >= threshold exactly (integer comparison).
+
+    Pass ``bands`` (a materialized ``_band_rows(docs, shingle_n)``) when
+    the caller needs the band rows too — signature computation is the
+    dominant banding cost, and bootstrap_index previously paid it twice.
     """
-    bands = _band_rows(docs, shingle_n)
+    if bands is None:
+        bands = _band_rows(docs, shingle_n)
     pairs_table = _candidate_pairs(bands, star_cap=star_cap)
     thr_num = int(jaccard_threshold * 1_000_000)
 

@@ -93,15 +93,18 @@ def bootstrap_index(docs: "ray.data.Dataset", work_dir: str,
     everything else — callers keep their corpus store and drop these)."""
     from ocr_proofreader_ray.pipelines.dedup import minhash_lsh_pairs
 
-    docs = docs.materialize()  # banded twice (pairs + index append)
+    docs = docs.materialize()
+    # band ONCE: minhash signatures dominate banding cost, and the same
+    # materialized band rows serve both pair generation and the index write
+    bands = _band_rows(docs, shingle_n).materialize()
     pairs = minhash_lsh_pairs(docs, shingle_n=shingle_n,
-                              jaccard_threshold=jaccard_threshold)
+                              jaccard_threshold=jaccard_threshold,
+                              bands=bands)
     clusters = dedup_clusters(pairs)
     drop = clusters.filter(
         pc.not_equal(clusters.column("doc_id"), clusters.column("rep_id"))
     ).column("doc_id").combine_chunks()
 
-    bands = _band_rows(docs, shingle_n)
     if len(drop):
         bands = broadcast_semi_anti(bands, drop, on="doc_id", anti=True)
     _write_index_batch(work_dir, bands, "bootstrap")
