@@ -43,3 +43,20 @@ def test_prep_subcommand_prints_lineage():
     for prev, cur in zip(rows, rows[1:]):
         assert cur["rows_in"] == prev["rows_out"]
         assert cur["rows_out"] <= cur["rows_in"]
+
+
+def test_extract_subcommand_runs_and_resumes(tmp_path):
+    import os
+
+    from fixtures.gen_pages import generate_pages
+
+    pages = str(tmp_path / "pages")
+    generate_pages(pages, n_docs=200, seed=13, n_files=8)
+    work = str(tmp_path / "work")
+    args = ["extract", "--input", os.path.join(pages, "pages-*.parquet"),
+            "--work-dir", work, "--files-per-chunk", "4", "--num-cpus", "4"]
+    first = _run(*args)[-1]
+    assert first["rows"] == 200
+    # resubmission resumes from the committed manifests
+    second = _run(*args)[-1]
+    assert second["rows"] == 200
