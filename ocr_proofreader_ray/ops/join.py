@@ -461,21 +461,30 @@ def asof_join(
             types_mapper=lambda t: (pd.__dict__[_INT_NULLABLE[t] + "Dtype"]()
                                     if t in _INT_NULLABLE else None))
 
+    def _ts_usable(col) -> pa.ChunkedArray:
+        # null timestamps can never satisfy ts >= rts: drop them (SQL inner
+        # ASOF semantics) — merge_asof would otherwise raise on NaT keys.
+        # Float-typed ts columns additionally carry NaN (not null), which
+        # survives is_valid and raises "keys must be sorted" inside
+        # merge_asof (ADVICE r04) — filter it with the same inner semantics.
+        m = pc.is_valid(col)
+        if pa.types.is_floating(col.type):
+            m = pc.and_(m, pc.invert(pc.is_nan(col)))
+        return m
+
     def asof_partition(g: pa.Table) -> pa.Table:
         import pandas as pd
 
         side = g.column("__side")
-        # null timestamps can never satisfy ts >= rts: drop them (SQL inner
-        # ASOF semantics) — merge_asof would otherwise raise on NaT keys
         l = _to_pd(
             g.filter(pc.and_(pc.equal(side, 0),
-                             pc.is_valid(g.column(left_ts)))).select(lcols)
+                             _ts_usable(g.column(left_ts)))).select(lcols)
         ).sort_values(left_ts, kind="stable")
         r_sort = ([right_ts, right_tiebreak] if right_tiebreak
                   else [right_ts])
         r = _to_pd(
             g.filter(pc.and_(pc.equal(side, 1),
-                             pc.is_valid(g.column(right_ts)))).select(rcols)
+                             _ts_usable(g.column(right_ts)))).select(rcols)
         ).sort_values(r_sort, kind="stable")
         if not len(l) or not len(r):
             return out_schema.empty_table()

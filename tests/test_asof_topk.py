@@ -217,3 +217,31 @@ def test_asof_join_ids_above_2_53_survive(ray_session):
     # float64 rounding would collapse big+1 and big+2 into the same key
     # (wrong matches) and corrupt the payload ids
     assert out == {big: big + 5, big + 3: big + 6}
+
+
+def test_asof_join_float_ts_nan_dropped(ray_session):
+    """ADVICE r04: float-typed (non-temporal) ts columns carry NaN rather
+    than null; those rows must drop with the same inner semantics instead
+    of reaching merge_asof (where an unsorted NaN key raises)."""
+    import math
+
+    import ray.data
+
+    from ocr_proofreader_ray.ops.join import asof_join
+
+    left = ray.data.from_arrow(pa.table({
+        "eid": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": pa.array([10, 10, 10, 10], pa.int64()),
+        "ts": pa.array([5.0, float("nan"), 9.0, None], pa.float64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([10, 10], pa.int64()),
+        "rid": pa.array([100, 101], pa.int64()),
+        "rts": pa.array([4.0, float("nan")], pa.float64()),
+    }))
+    got = asof_join(left, right, on="k", right_on="rk",
+                    left_ts="ts", right_ts="rts").take_all()
+    out = {r["eid"]: r["rid"] for r in got}
+    assert out == {1: 100, 3: 100}  # NaN/null ts rows on both sides drop
+    assert not any(isinstance(r["rts"], float) and math.isnan(r["rts"])
+                   for r in got)

@@ -161,7 +161,7 @@ def test_minhash_shuffle_verify_matches_broadcast(ray_session):
     old = minhash_lsh_pairs(ds, shingle_n=3, jaccard_threshold=0.5,
                             token_sets=token_sets).take_all()
     new_tab = minhash_lsh_pairs(ds, shingle_n=3, jaccard_threshold=0.5)
-    new = new_tab.to_pylist()
+    new = new_tab.take_all()  # _verify_pairs returns a Dataset (r05)
 
     as_set = lambda recs: {(r["doc_a"], r["doc_b"], r["inter"], r["uni"])
                            for r in recs}
@@ -268,12 +268,12 @@ def test_star_cap_below_threshold_keeps_all_pairs(ray_session):
     ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
 
     full = minhash_lsh_pairs(ds, shingle_n=3, jaccard_threshold=0.5)
-    keys = {(r["doc_a"], r["doc_b"]) for r in full.to_pylist()}
+    keys = {(r["doc_a"], r["doc_b"]) for r in full.take_all()}
     assert keys == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
 
     star = minhash_lsh_pairs(ds, shingle_n=3, jaccard_threshold=0.5,
                              star_cap=2)
-    star_keys = {(r["doc_a"], r["doc_b"]) for r in star.to_pylist()}
+    star_keys = {(r["doc_a"], r["doc_b"]) for r in star.take_all()}
     assert star_keys == {(1, 2), (1, 3), (1, 4)}
 
 
@@ -519,9 +519,8 @@ def test_verify_pairs_streaming_shuffle_threshold_joins(ray_session,
     monkeypatch.setattr(dd, "_GATHER_MAX_ELEMENTS", 0)
     got = dd._verify_pairs(ds, pairs, shingle_elements,
                            thr_num=500_000, thr_den=1_000_000)
-    got = got.to_pandas() if not isinstance(got, pa.Table) else got.to_pandas()
-    want = want.to_pandas() if not isinstance(want, pa.Table) \
-        else want.to_pandas()
+    got = got.to_pandas()    # always a Dataset since r05
+    want = want.to_pandas()
     canon = lambda df: sorted(map(tuple, df.to_numpy()))
     assert canon(got) == canon(want)
     assert any(r[:2] == (1, 4) for r in canon(got))

@@ -60,7 +60,7 @@ def test_cluster_pipeline_on_planted_chain(ray_session):
     ]
     ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
     pairs = minhash_lsh_pairs(ds, shingle_n=1, jaccard_threshold=0.4)
-    found = {(r["doc_a"], r["doc_b"]) for r in pairs.to_pylist()}
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.take_all()}
     assert (1, 2) in found and (2, 3) in found and (1, 3) not in found
     clusters = dedup_clusters(pairs)
     got = dict(zip(clusters.column("doc_id").to_pylist(),
