@@ -210,6 +210,12 @@ _STAR_BUCKET_CAP = 64
 # corpus-proportional even under star caps)
 _PAIRS_DRIVER_MAX = 5_000_000
 
+# at or below this many BAND ROWS the candidate-pair pass gathers the
+# (bucket-key, doc_id) columns and runs one vectorized driver pass
+# (~28 B/row -> ~110 MB at the gate) instead of the groupby("part")
+# exchange; above it the exchange is the only shape that scales
+_BANDS_DRIVER_MAX = 4_000_000
+
 
 def _candidate_pairs(bands: "ray.data.Dataset",
                      group_cols: tuple[str, ...] = (),
@@ -248,6 +254,26 @@ def _candidate_pairs(bands: "ray.data.Dataset",
             "doc_a": np.concatenate(out_a),
             "doc_b": np.concatenate(out_b),
         }).drop_duplicates()  # same pair from several bands in this part
+
+    bands = bands.materialize()
+    if bands.count() <= _BANDS_DRIVER_MAX:
+        # small-side fast path (same size-switch convention as
+        # _PAIRS_DRIVER_MAX below): one vectorized pass over the gathered
+        # band rows replaces the groupby("part") exchange, whose fixed
+        # sort-shuffle cost dominated the incremental-dedup bench slice
+        # (VERDICT r04 next-steps #3).  Identical output set: part_pairs
+        # groups on the full bucket key, so partitioning was only ever a
+        # scale device; pinned equivalent by tests/test_plan_switches.py.
+        blocks = [blk.select(bucket_cols + ["doc_id"])
+                  for blk in _arrow_blocks(bands)]
+        if not blocks:
+            return ray.data.from_arrow(pa.table({
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64())}))
+        out = part_pairs(
+            pa.concat_tables(blocks, promote_options="default").to_pandas())
+        return ray.data.from_arrow(pa.Table.from_pandas(
+            out.drop_duplicates(), preserve_index=False)).materialize()
 
     pairs = bands.groupby("part").map_groups(
         part_pairs, batch_format="pandas").materialize()

@@ -36,6 +36,8 @@ increment the plan is:
 from __future__ import annotations
 
 import os
+import time
+from contextlib import contextmanager
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -58,6 +60,30 @@ _INDEX_SUBDIR = "band_index"
 # family as dedup._BLOOM_SEMI_THRESHOLD)
 _KEYS_BLOOM_THRESHOLD = 2_000_000
 
+# stage wall-times of the most recent q_dedup_incremental run (VERDICT r04
+# next-steps #3: the slowest bench-slice query gets a per-stage split the
+# bench JSON can report); written by the timed sections below, read by
+# bench.py — keys are <phase>_<stage>_sec
+_LAST_TIMINGS: dict[str, float] = {}
+
+
+def last_stage_timings() -> dict[str, float]:
+    """Per-stage wall-times (seconds) of the most recent incremental-dedup
+    query run in this process; empty until one runs."""
+    return dict(_LAST_TIMINGS)
+
+
+@contextmanager
+def _timed(timings: dict | None, key: str):
+    if timings is None:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        timings[key] = round(time.perf_counter() - t0, 4)
+
 
 def _index_dir(work_dir: str) -> str:
     d = os.path.join(work_dir, _INDEX_SUBDIR)
@@ -74,8 +100,11 @@ def _write_index_batch(work_dir: str, bands: "ray.data.Dataset",
     out = os.path.join(_index_dir(work_dir), batch_tag)
     if os.path.exists(out):
         shutil.rmtree(out)
+    # consolidate files: the default one-file-per-block write fragments a
+    # batch into ~30 KB files whose open/footer overhead dominates the
+    # increment's index re-read (the r04 bench's slowest-slice stage)
     bands.select_columns(["doc_id", "band_id", "band_key", "part"]) \
-        .write_parquet(out)
+        .write_parquet(out, min_rows_per_file=500_000)
 
 
 def _element_rows(shingle_n: int):
@@ -87,27 +116,32 @@ def _element_rows(shingle_n: int):
 
 def bootstrap_index(docs: "ray.data.Dataset", work_dir: str,
                     shingle_n: int = 3,
-                    jaccard_threshold: float = 0.5) -> pa.Array:
+                    jaccard_threshold: float = 0.5,
+                    timings: dict | None = None) -> pa.Array:
     """Batch-dedup the initial corpus, persist the retained docs' band
     index under ``work_dir``; returns the dropped doc ids (the keep set is
     everything else — callers keep their corpus store and drop these)."""
     from ocr_proofreader_ray.pipelines.dedup import minhash_lsh_pairs
 
-    docs = docs.materialize()
-    # band ONCE: minhash signatures dominate banding cost, and the same
-    # materialized band rows serve both pair generation and the index write
-    bands = _band_rows(docs, shingle_n).materialize()
-    pairs = minhash_lsh_pairs(docs, shingle_n=shingle_n,
-                              jaccard_threshold=jaccard_threshold,
-                              bands=bands)
-    clusters = dedup_clusters(pairs)
-    drop = clusters.filter(
-        pc.not_equal(clusters.column("doc_id"), clusters.column("rep_id"))
-    ).column("doc_id").combine_chunks()
-
-    if len(drop):
-        bands = broadcast_semi_anti(bands, drop, on="doc_id", anti=True)
-    _write_index_batch(work_dir, bands, "bootstrap")
+    with _timed(timings, "bootstrap_band_sec"):
+        docs = docs.materialize()
+        # band ONCE: minhash signatures dominate banding cost, and the same
+        # materialized band rows serve pair generation and the index write
+        bands = _band_rows(docs, shingle_n).materialize()
+    with _timed(timings, "bootstrap_verify_sec"):
+        pairs = minhash_lsh_pairs(docs, shingle_n=shingle_n,
+                                  jaccard_threshold=jaccard_threshold,
+                                  bands=bands).materialize()
+    with _timed(timings, "bootstrap_cluster_sec"):
+        clusters = dedup_clusters(pairs)
+        drop = clusters.filter(
+            pc.not_equal(clusters.column("doc_id"),
+                         clusters.column("rep_id"))
+        ).column("doc_id").combine_chunks()
+    with _timed(timings, "bootstrap_index_write_sec"):
+        if len(drop):
+            bands = broadcast_semi_anti(bands, drop, on="doc_id", anti=True)
+        _write_index_batch(work_dir, bands, "bootstrap")
     return drop
 
 
@@ -118,6 +152,7 @@ def dedup_increment(
     batch_tag: str,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    timings: dict | None = None,
 ) -> dict:
     """Dedup ``new_docs`` against the persisted band index (and itself).
 
@@ -126,28 +161,32 @@ def dedup_increment(
     new ids plus drop lineage counts, and appends the kept band rows to
     the index under ``batch_tag``.
     """
-    new_docs = new_docs.materialize()  # banded + verified + id-scanned
-    if new_docs.count() == 0:
-        # empty increment: nothing to dedup, nothing to index
-        return {
-            "keep_ids": pa.array([], pa.int64()),
-            "n_new": 0,
-            "n_dropped_vs_corpus": 0,
-            "n_dropped_within_increment": 0,
-        }
-    new_bands = _band_rows(new_docs, shingle_n).materialize()
+    with _timed(timings, "inc_band_sec"):
+        new_docs = new_docs.materialize()  # banded + verified + id-scanned
+        if new_docs.count() == 0:
+            # empty increment: nothing to dedup, nothing to index
+            return {
+                "keep_ids": pa.array([], pa.int64()),
+                "n_new": 0,
+                "n_dropped_vs_corpus": 0,
+                "n_dropped_within_increment": 0,
+            }
+        new_bands = _band_rows(new_docs, shingle_n).materialize()
 
-    new_ids = pa.concat_tables(
-        ray.get(new_docs.select_columns(["doc_id"]).to_arrow_refs()),
-        promote_options="default").column("doc_id").combine_chunks().unique()
-    new_id_set = set(new_ids.to_pylist())
+        new_ids = pa.concat_tables(
+            ray.get(new_docs.select_columns(["doc_id"]).to_arrow_refs()),
+            promote_options="default",
+        ).column("doc_id").combine_chunks().unique()
+        new_id_set = set(new_ids.to_pylist())
 
-    # 2. touched index buckets: the new band-key set is increment-sized
-    # (32 keys/doc); over-selection from a cross-band key collision only
-    # admits old rows whose old-old pairs are filtered out below
-    new_keys = pa.concat_tables(
-        ray.get(new_bands.select_columns(["band_key"]).to_arrow_refs()),
-        promote_options="default").column("band_key").combine_chunks().unique()
+        # 2. touched index buckets: the new band-key set is increment-sized
+        # (32 keys/doc); over-selection from a cross-band key collision only
+        # admits old rows whose old-old pairs are filtered out below
+        new_keys = pa.concat_tables(
+            ray.get(new_bands.select_columns(["band_key"]).to_arrow_refs()),
+            promote_options="default",
+        ).column("band_key").combine_chunks().unique()
+    _t_pairs0 = time.perf_counter()
     index = ray.data.read_parquet(_index_dir(work_dir))
     if len(new_keys) > _KEYS_BLOOM_THRESHOLD:
         # huge increment: ship a fixed-size Bloom instead of the exact key
@@ -178,20 +217,26 @@ def dedup_increment(
             pc.is_in(b.column("doc_b"), value_set=new_ids)))
 
     pairs = pairs.map_batches(touches_new, batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              zero_copy_batch=True).materialize()
+    if timings is not None:
+        # spans index read + touched-bucket semi filter + candidate pair
+        # generation (_candidate_pairs materializes its output eagerly)
+        timings["inc_pairs_sec"] = round(time.perf_counter() - _t_pairs0, 4)
 
     # 4. exact verification over (corpus ∪ increment); explode is
     # candidate-only on both sides
     thr_num = int(jaccard_threshold * 1_000_000)
-    verified = _verify_pairs(
-        corpus_docs.select_columns(["doc_id", "text"])
-        .union(new_docs.select_columns(["doc_id", "text"])),
-        pairs, _element_rows(shingle_n),
-        thr_num=thr_num, thr_den=1_000_000)
+    with _timed(timings, "inc_verify_sec"):
+        verified = _verify_pairs(
+            corpus_docs.select_columns(["doc_id", "text"])
+            .union(new_docs.select_columns(["doc_id", "text"])),
+            pairs, _element_rows(shingle_n),
+            thr_num=thr_num, thr_den=1_000_000).materialize()
 
     # 5. component rule: any old member -> drop all new members;
     # all-new component -> keep min
-    clusters = dedup_clusters(verified)
+    with _timed(timings, "inc_cluster_sec"):
+        clusters = dedup_clusters(verified)
     comp: dict[int, list[int]] = {}
     comp_has_old: dict[int, bool] = {}
     for d, r in zip(clusters.column("doc_id").to_pylist(),
@@ -212,9 +257,10 @@ def dedup_increment(
         sorted(i for i in new_id_set if i not in drop_set), pa.int64())
 
     # 6. append kept band rows (append-only, re-runnable per tag)
-    _write_index_batch(
-        work_dir, broadcast_semi_anti(new_bands, keep_ids, on="doc_id"),
-        batch_tag)
+    with _timed(timings, "inc_index_write_sec"):
+        _write_index_batch(
+            work_dir, broadcast_semi_anti(new_bands, keep_ids, on="doc_id"),
+            batch_tag)
     return {
         "keep_ids": keep_ids,
         "n_new": len(new_id_set),
@@ -238,8 +284,12 @@ def q_dedup_incremental(sf_dir: str):
 
     from ray.data.aggregate import Max, Min
 
+    tm: dict[str, float] = {}
     docs = t(sf_dir, "documents", ["doc_id", "text"])
-    stats = docs.aggregate(Min("doc_id"), Max("doc_id"))
+    with _timed(tm, "minmax_scan_sec"):
+        # id-only read: the min/max split point must not pay a text scan
+        stats = t(sf_dir, "documents", ["doc_id"]).aggregate(
+            Min("doc_id"), Max("doc_id"))
     cut = (int(stats["min(doc_id)"]) + int(stats["max(doc_id)"])) // 2
 
     def below(b: pa.Table) -> pa.Table:
@@ -255,14 +305,19 @@ def q_dedup_incremental(sf_dir: str):
         "/tmp/opr_incremental", os.path.basename(os.path.normpath(sf_dir)))
     shutil.rmtree(work_dir, ignore_errors=True)
 
-    old = old.materialize()
-    drop_old = bootstrap_index(old, work_dir)
-    kept_old = old
-    if len(drop_old):
-        kept_old = broadcast_semi_anti(old, drop_old, on="doc_id", anti=True)
-    kept_old = kept_old.materialize()
+    with _timed(tm, "split_sec"):
+        old = old.materialize()
+    drop_old = bootstrap_index(old, work_dir, timings=tm)
+    with _timed(tm, "kept_old_sec"):
+        kept_old = old
+        if len(drop_old):
+            kept_old = broadcast_semi_anti(old, drop_old, on="doc_id",
+                                           anti=True)
+        kept_old = kept_old.materialize()
 
-    res = dedup_increment(new, kept_old, work_dir, "inc-1")
+    res = dedup_increment(new, kept_old, work_dir, "inc-1", timings=tm)
+    _LAST_TIMINGS.clear()
+    _LAST_TIMINGS.update(tm)
 
     # stream the (corpus-sized) keep list out as a Dataset — only the
     # increment's keep ids (increment-sized by assumption) sit on the driver

@@ -483,12 +483,17 @@ def test_candidate_pairs_ray_exchange_branch_equivalent(ray_session,
              for d in range(5, 40)]
     ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
 
+    # three-way pin across both size gates: the bands-driver fast path
+    # (default at this size), the exchange + driver pair combiner, and the
+    # fully distributed exchange + Ray pair dedup must emit one pair set
     small = dd._candidate_pairs(dd._band_rows(ds, 3)).to_pandas()
+    monkeypatch.setattr(dd, "_BANDS_DRIVER_MAX", 0)
+    mid = dd._candidate_pairs(dd._band_rows(ds, 3)).to_pandas()
     monkeypatch.setattr(dd, "_PAIRS_DRIVER_MAX", 0)
     big = dd._candidate_pairs(dd._band_rows(ds, 3)).to_pandas()
 
     canon = lambda df: sorted(map(tuple, df[["doc_a", "doc_b"]].to_numpy()))
-    assert canon(small) == canon(big)
+    assert canon(small) == canon(mid) == canon(big)
     assert len(small) == len(set(canon(small)))  # globally distinct
     assert (1, 2) in canon(small)
 

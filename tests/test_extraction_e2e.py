@@ -277,3 +277,20 @@ def test_whale_cap_change_invalidates_resume(ray_session, pages_dir, tmp_path):
         with open(p) as f:
             n_trunc += json.load(f)["counters"]["extract"]["docs_truncated"]
     assert n_trunc > 0
+
+
+def test_dictionary_exchange_branch_matches_driver(ray_session, pages_dir,
+                                                   tmp_path, monkeypatch):
+    """VERDICT r04 #7: force the above-gate Ray hash-shuffle dictionary
+    merge (the >_DRIVER_MERGE_MAX_ROWS crawl path) and pin its dictionary
+    file byte-identical to the default driver-combiner branch."""
+    import ocr_proofreader_ray.pipelines.extraction as ex
+
+    _run(pages_dir, str(tmp_path / "driver"))
+    monkeypatch.setattr(ex, "_DRIVER_MERGE_MAX_ROWS", 0)
+    _run(pages_dir, str(tmp_path / "exchange"))
+
+    key = [("lang", "ascending"), ("token", "ascending")]
+    a = pq.read_table(f"{tmp_path}/driver/lang_dict.parquet").sort_by(key)
+    b = pq.read_table(f"{tmp_path}/exchange/lang_dict.parquet").sort_by(key)
+    assert a.equals(b)
