@@ -502,10 +502,18 @@ def q_embedding_pca(sf_dir: str, n_components: int = _PCA_COMPONENTS):
         wt, mu_ = _fetch(w_ref)
         mat = _batch_matrix(b).astype(np.float64)
         q = np.floor(mat * _PCA_QUANT + 0.5)
-        y = (q - mu_) @ wt.T / _PCA_QUANT
+        centered = q - mu_
         cols = {"vec_id": b.column("vec_id")}
+        # explicit left-to-right coordinate accumulation instead of a gemm:
+        # BLAS picks different accumulation orders by matrix height, so the
+        # same row projected in different-sized batches drifted by ulps —
+        # breaking the bit-exact golden gate (run-to-run determinism is the
+        # repo-wide float contract)
         for i in range(wt.shape[0]):
-            cols[f"pc{i + 1}"] = pa.array(y[:, i], pa.float64())
+            y = np.zeros(len(centered), np.float64)
+            for j in range(wt.shape[1]):
+                y += centered[:, j] * wt[i, j]
+            cols[f"pc{i + 1}"] = pa.array(y / _PCA_QUANT, pa.float64())
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow",
