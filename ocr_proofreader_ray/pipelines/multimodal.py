@@ -32,12 +32,20 @@ from ocr_proofreader_ray.stages.media import (
 MEDIA_BATCH_SIZE = 64
 
 
-def media_dataset(sf_dir: str) -> "ray.data.Dataset":
-    """documents -> synthetic media table (streaming, pruned read)."""
+def media_dataset(sf_dir: str,
+                  real_containers: bool = False) -> "ray.data.Dataset":
+    """documents -> synthetic media table (streaming, pruned read).
+
+    ``real_containers=True`` swaps a fixed doc_id subset to REAL
+    uncompressed BMP/PPM/WAV payloads (stages/media.py) so the decode
+    stages run their real codec paths; the default stays pure-FAKE because
+    ``q_media_metadata``'s oracle derives payload size from text length.
+    """
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return ds.map_batches(synthesize_media_batch, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    return ds.map_batches(
+        lambda b: synthesize_media_batch(b, real_containers=real_containers),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 @register(
@@ -74,8 +82,9 @@ def q_media_metadata(sf_dir: str):
 def q_image_features(sf_dir: str):
     """Fused decode + thumbnail over image-kind media: ONE synthesized
     payload pass, ONE decode per item (VERDICT r01 #6 fixed the previous
-    double synthesis)."""
-    ds = media_dataset(sf_dir)
+    double synthesis).  Real-container subset included: the BMP/PPM rows
+    exercise the stdlib decoders, not the FAKE parser."""
+    ds = media_dataset(sf_dir, real_containers=True)
     ds = ds.map_batches(
         lambda b: b.filter(pc.equal(b.column("kind"), "image")),
         batch_format="pyarrow", zero_copy_batch=True)
@@ -92,8 +101,9 @@ def q_image_features(sf_dir: str):
 def q_audio_features(sf_dir: str):
     """Windowed audio features (energy + zero-crossing per 256-byte frame)
     over audio-kind media — the framing/aggregation layout a real PCM
-    feature stage emits, with exact-integer outputs."""
-    ds = media_dataset(sf_dir)
+    feature stage emits, with exact-integer outputs.  Real-container
+    subset included: the WAV rows exercise the stdlib PCM decoder."""
+    ds = media_dataset(sf_dir, real_containers=True)
     ds = ds.map_batches(
         lambda b: b.filter(pc.equal(b.column("kind"), "audio")),
         batch_format="pyarrow", zero_copy_batch=True)

@@ -224,3 +224,87 @@ def test_media_phash_dups_runs_clean_corpus(ray_session):
     out = q_media_phash_dups("/root/testdata/sf0.001")
     n = out.num_rows if hasattr(out, "num_rows") else out.count()
     assert n == 0  # synthetic corpus has no near-identical images
+
+
+# ---------------------------------------------------------------------------
+# pure-stdlib codecs for uncompressed formats (VERDICT r04 #5)
+# ---------------------------------------------------------------------------
+
+def test_bmp_roundtrip_bit_exact():
+    import numpy as np
+
+    from ocr_proofreader_ray.stages.media import _decode_one, encode_bmp
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (11, 7, 3), np.int64).astype(np.uint8)
+    kind, w, h, frames, body = _decode_one(encode_bmp(px))
+    assert (kind, w, h, frames) == (0, 7, 11, 1)
+    assert body.tobytes() == px.tobytes()  # padding stripped, top-down
+
+
+def test_ppm_roundtrip_and_comment_header():
+    import numpy as np
+
+    from ocr_proofreader_ray.stages.media import _decode_one, encode_ppm
+
+    rng = np.random.RandomState(6)
+    px = rng.randint(0, 256, (5, 9, 3), np.int64).astype(np.uint8)
+    kind, w, h, _f, body = _decode_one(encode_ppm(px))
+    assert (kind, w, h) == (0, 9, 5)
+    assert body.tobytes() == px.tobytes()
+    # header comments (emitted by many tools) must parse
+    with_comment = b"P6\n# made by a tool\n9 5\n255\n" + px.tobytes()
+    kind, w, h, _f, body = _decode_one(with_comment)
+    assert (w, h) == (9, 5) and body.tobytes() == px.tobytes()
+
+
+def test_wav_roundtrip_16bit_and_8bit():
+    import numpy as np
+
+    from ocr_proofreader_ray.stages.media import (
+        _decode_one,
+        encode_wav,
+    )
+
+    u8 = np.arange(256, dtype=np.uint8)
+    payload = encode_wav((u8.astype(np.int16) - 128) << 8, rate=8000)
+    kind, rate, n, _f, body = _decode_one(payload)
+    assert (kind, rate, n) == (1, 8000, 256)
+    assert body.tobytes() == u8.tobytes()  # hi-byte+128 inverts the encode
+
+
+def test_riff_avi_still_refuses():
+    from ocr_proofreader_ray.stages.media import _decode_one
+
+    avi = b"RIFF" + b"\x00\x00\x00\x00" + b"AVI " + b"\x00" * 64
+    with pytest.raises(NotImplementedError, match="AVI"):
+        _decode_one(avi)
+
+
+def test_decode_stage_strict_over_mixed_real_containers():
+    """A batch mixing FAKE, BMP, PPM and WAV rows decodes strictly — the
+    real formats are no longer stubbed."""
+    import numpy as np
+
+    from ocr_proofreader_ray.stages.media import synthesize_media_batch
+
+    docs = pa.table({
+        # doc_id%3 picks kind, doc_id%5 picks container:
+        # 15->BMP image, 3->PPM image, 10->WAV audio, 1->FAKE audio
+        "doc_id": pa.array([15, 3, 10, 1], pa.int64()),
+        "text": pa.array(["alpha beta", "gamma", "delta epsilon", "zeta"]),
+    })
+    media = synthesize_media_batch(docs, real_containers=True)
+    payloads = media.column("payload").to_pylist()
+    assert payloads[0][:2] == b"BM"
+    assert payloads[1][:2] == b"P6"
+    assert payloads[2][:4] == b"RIFF"
+    assert payloads[3][:4] == b"FAKE"
+    out = DecodeStage(strict=True)(media)
+    assert out.column("dec_w").to_pylist() == [
+        8 + 15 % 16, 8 + 3 % 16, 8000 + (10 % 3) * 4000, 12000]
+    # decoded dims must match the synthesizer's metadata columns
+    assert (out.column("dec_w").to_pylist()[:2]
+            == media.column("media_w").to_pylist()[:2])
+    assert (out.column("dec_h").to_pylist()
+            == media.column("media_h").to_pylist())
