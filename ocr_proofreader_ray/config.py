@@ -59,6 +59,17 @@ class ExtractionConfig:
     # group (bounded wasted work, identical bytes).
     chunks_per_exec: int = 8
 
+    # window-2 pipelining of consecutive PASS-1 group executions (disjoint
+    # chunks; the dictionary barrier still separates the passes): group
+    # k+1's read/ramp fills the cluster while group k drains and commits,
+    # so finer checkpoint granularity (smaller chunks_per_exec) stops
+    # costing a full barrier per group.  Pass-2 groups always run serial —
+    # two concurrent FIXED corrector pools reserve every CPU slot and
+    # deadlock-starve both executions' read/write tasks (measured; see
+    # pipelines/extraction.py run_groups).  Commits stay per-chunk atomic;
+    # manifest bookkeeping stays on the driver thread.
+    overlap_groups: bool = True
+
     # live-progress counter actor (advisory telemetry DURING a run).  The
     # manifest's per-chunk lineage counters do not depend on it — they are
     # always derived exactly from the committed parquet outputs.

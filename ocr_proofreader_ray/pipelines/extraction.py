@@ -228,8 +228,12 @@ def run_pass1_group(cfg: ExtractionConfig,
 
     os.makedirs(cfg.raw_dir, exist_ok=True)
     os.makedirs(cfg.counts_dir, exist_ok=True)
-    raw_tmp = os.path.join(cfg.raw_dir, ".group_tmp")
-    counts_tmp = os.path.join(cfg.counts_dir, ".group_tmp")
+    # tmp dirs carry the group's first chunk id so OVERLAPPED group
+    # executions (run_extraction's window-2 pipelining) never collide;
+    # stale tmps from crashed runs are swept by run_extraction
+    raw_tmp = os.path.join(cfg.raw_dir, f".group_tmp-{chunk_ids[0]:05d}")
+    counts_tmp = os.path.join(cfg.counts_dir,
+                              f".group_tmp-{chunk_ids[0]:05d}")
     for d in (raw_tmp, counts_tmp):
         if os.path.isdir(d):
             shutil.rmtree(d)
@@ -405,7 +409,7 @@ def run_pass2_group(cfg: ExtractionConfig, chunk_ids: list[int],
     group re-runs (bounded wasted work, identical bytes)."""
     import shutil
 
-    group_tmp = os.path.join(cfg.out_dir, ".group_tmp")
+    group_tmp = os.path.join(cfg.out_dir, f".group_tmp-{chunk_ids[0]:05d}")
     if os.path.isdir(group_tmp):
         shutil.rmtree(group_tmp)
     os.makedirs(cfg.out_dir, exist_ok=True)
@@ -527,6 +531,35 @@ def _resolve_chunk_counters(refs: list, raw_dir: str, out_dir: str | None,
 # driver entry points
 # --------------------------------------------------------------------------
 
+def _pin_fsspec_http_stub() -> None:
+    """Make Ray's lazy ``fsspec.implementations.http`` probe thread-safe.
+
+    That module cannot import in this environment (aiohttp is absent), and
+    a FAILED import is retried on every Ray path resolution; with two
+    overlapped group executions resolving paths concurrently, CPython's
+    import-deadlock avoidance can expose the half-initialized module and
+    raise ``ImportError: cannot import name 'HTTPFileSystem'`` — which
+    Ray's ``except ModuleNotFoundError`` does not catch.  When the real
+    import fails, pin a stub module whose ``HTTPFileSystem`` is a marker
+    class that is never instantiated: Ray only ever isinstance-checks
+    against it, so behavior is identical to the ModuleNotFoundError path,
+    and the import becomes a stable sys.modules hit.  No-op when the real
+    module imports (aiohttp present)."""
+    import sys
+    import types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return
+    except ImportError:
+        pass
+    if "fsspec.implementations.http" in sys.modules:
+        return
+    stub = types.ModuleType("fsspec.implementations.http")
+    stub.HTTPFileSystem = type("HTTPFileSystem", (), {})
+    sys.modules["fsspec.implementations.http"] = stub
+
+
 def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
     """Run (or resume) the full two-pass pipeline; returns the final Dataset."""
     files = discover_files(cfg.input_paths)
@@ -534,6 +567,14 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
         raise FileNotFoundError(f"no parquet inputs under {cfg.input_paths!r}")
     chunks = make_chunks(files, cfg.files_per_chunk)
     os.makedirs(cfg.work_dir, exist_ok=True)
+    # sweep crash artifacts: uncommitted group tmps from any prior run (tmp
+    # names carry the group's first chunk id, so a re-grouped resume would
+    # not necessarily overwrite a stale one)
+    import shutil as _shutil
+
+    for root in (cfg.raw_dir, cfg.counts_dir, cfg.out_dir):
+        for stale in globmod.glob(os.path.join(root, ".group_tmp*")):
+            _shutil.rmtree(stale, ignore_errors=True)
 
     lineage_name = None
     lineage_handle = None
@@ -611,13 +652,48 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
             pending1.append((chunk_id, fp, chunk_files))
 
     dict_needed = not os.path.exists(cfg.dict_path) or bool(pending1)
-    for g in range(0, len(pending1), group_n):
-        grp = pending1[g:g + group_n]
-        t0 = time.time()
-        stage_t = run_pass1_group(
-            cfg, [(cid, files) for cid, _fp, files in grp], lineage_name)
-        wall = time.time() - t0
-        flush_pending()
+
+    # Group executions within a pass are independent (disjoint chunks, the
+    # dictionary barrier sits BETWEEN passes), so consecutive PASS-1 groups
+    # run through a window-2 thread pool when cfg.overlap_groups: group
+    # k+1's read/ramp fills the cluster while group k drains its straggler
+    # batches and commits (VERDICT r04 #6).  Pass-2 groups stay SERIAL:
+    # each one's FIXED corrector pool reserves ncpu-reserve CPU slots, so
+    # two concurrent pools reserve every slot and starve both executions'
+    # read/write tasks — a measured full deadlock, the same stall mechanics
+    # as the round-2 full-width-pool finding (an autoscaling pool would
+    # dodge the reservation but idles ~45% of pool-seconds, also measured).
+    # All manifest bookkeeping stays on the driver thread, in submission
+    # order — commits remain per-chunk atomic, resume semantics unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _pin_fsspec_http_stub()
+
+    def run_groups(groups: list, submit_fn, on_done,
+                   overlap: bool = True) -> None:
+        window = 2 if (overlap and cfg.overlap_groups
+                       and len(groups) > 1) else 1
+        with ThreadPoolExecutor(max_workers=window) as tpool:
+            futs: list = []
+
+            def finish_one() -> None:
+                grp, t_sub, fut = futs.pop(0)
+                result = fut.result()
+                flush_pending()
+                on_done(grp, result, time.time() - t_sub)
+
+            for grp in groups:
+                futs.append((grp, time.time(), tpool.submit(submit_fn, grp)))
+                if len(futs) >= window:
+                    finish_one()
+            while futs:
+                finish_one()
+
+    groups1 = [pending1[g:g + group_n]
+               for g in range(0, len(pending1), group_n)]
+    t_pass1 = time.time()
+
+    def pass1_done(grp, stage_t, wall) -> None:
         for cid, fp, chunk_files in grp:
             raw_dir, _out = chunk_dirs(cid, False)
             refs = _launch_counter_sums(raw_dir, None)
@@ -627,10 +703,17 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
             pending.append((m1, cid, fp, chunk_files, resolve1, wall,
                             {"stage_sec": stage_t,
                              "group_chunks": [c for c, _x, _y in grp]}))
-        timings["pass1_sec"] += wall
         for k, v in stage_t.items():
             timings["pass1_stages"][k] = round(
                 timings["pass1_stages"].get(k, 0.0) + v, 3)
+
+    run_groups(
+        groups1,
+        lambda grp: run_pass1_group(
+            cfg, [(cid, files) for cid, _fp, files in grp], lineage_name),
+        pass1_done)
+    if groups1:
+        timings["pass1_sec"] += time.time() - t_pass1
     # the last pass-1 group's counters stay pending ACROSS the dictionary
     # build and the first pass-2 group — maximal overlap
 
@@ -657,18 +740,25 @@ def run_extraction(cfg: ExtractionConfig) -> "ray.data.Dataset":
     pending2 = [(cid, fp, files) for cid, fp, files in pending2
                 if not m2.completed(cid, fp)]
     group_n = max(1, cfg.chunks_per_exec)
-    for g in range(0, len(pending2), group_n):
-        group = pending2[g:g + group_n]
-        t0 = time.time()
-        run_pass2_group(cfg, [cid for cid, _fp, _f in group], lineage_name)
-        wall = time.time() - t0
-        flush_pending()  # pass-1 records must exist before resolvers read them
+    groups2 = [pending2[g:g + group_n]
+               for g in range(0, len(pending2), group_n)]
+    t_pass2 = time.time()
+
+    def pass2_done(group, _result, wall) -> None:
+        # flush_pending already ran: pass-1 records exist before resolvers
         for cid, fp, chunk_files in group:
             raw_dir, out_dir = chunk_dirs(cid, True)
             resolve2 = pass2_resolver(cid, raw_dir, out_dir, chunk_files)
             pending.append((m2, cid, fp, chunk_files, resolve2, wall,
                             {"group_chunks": [c for c, _x, _y in group]}))
-        timings["pass2_sec"] += wall
+
+    run_groups(
+        groups2,
+        lambda group: run_pass2_group(
+            cfg, [cid for cid, _fp, _f in group], lineage_name),
+        pass2_done, overlap=False)  # fixed-pool reservation: see run_groups
+    if groups2:
+        timings["pass2_sec"] += time.time() - t_pass2
     flush_pending()
 
     # per-stage wall-time split for the scaling analysis (BASELINE.md):

@@ -200,7 +200,7 @@ def test_stale_group_tmp_is_ignored_and_cleaned(ray_session, pages_dir, tmp_path
     golden = _golden_map(pages_dir)
     assert {u: g["extracted_text"] for u, g in golden.items()} == got
     for sub in ("raw_extracted", "token_counts", "extracted"):
-        assert not os.path.exists(os.path.join(work, sub, ".group_tmp"))
+        assert not glob.glob(os.path.join(work, sub, ".group_tmp*"))
 
 
 def test_whale_truncation_capped_and_counted(ray_session, pages_dir, tmp_path):
@@ -294,3 +294,26 @@ def test_dictionary_exchange_branch_matches_driver(ray_session, pages_dir,
     a = pq.read_table(f"{tmp_path}/driver/lang_dict.parquet").sort_by(key)
     b = pq.read_table(f"{tmp_path}/exchange/lang_dict.parquet").sort_by(key)
     assert a.equals(b)
+
+
+def test_overlap_groups_byte_identity(ray_session, pages_dir, tmp_path):
+    """Window-2 pass-1 group pipelining is pure scheduling: overlapped and
+    serial runs of the same 4-chunk input must produce identical bytes and
+    identical dictionaries."""
+    outs = {}
+    for label, overlap in (("serial", False), ("overlap", True)):
+        cfg = ExtractionConfig(
+            input_paths=sorted(glob.glob(f"{pages_dir}/pages-*.parquet")),
+            work_dir=str(tmp_path / f"work_{label}"),
+            files_per_chunk=1,   # 4 chunks
+            chunks_per_exec=1,   # 4 groups -> 3 overlap boundaries
+            overlap_groups=overlap,
+        )
+        ds = run_extraction(cfg)
+        outs[label] = {r["url"]: (r["extracted_text"], r["n_tokens"])
+                       for r in ds.take_all()}
+        outs[label + "_dict"] = pq.read_table(
+            f"{tmp_path}/work_{label}/lang_dict.parquet").sort_by(
+            [("lang", "ascending"), ("token", "ascending")])
+    assert outs["serial"] == outs["overlap"]
+    assert outs["serial_dict"].equals(outs["overlap_dict"])
