@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "q_json_source_roundtrip",
     "q_price_percentiles_cont",
     "q_lang_id",
+    # round-5 operators
+    "q_dedup_exact_incremental",
 ]
 
 

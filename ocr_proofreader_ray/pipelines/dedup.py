@@ -51,6 +51,27 @@ from ocr_proofreader_ray.pipelines.relational import t
 # B12 — exact dedup: hash-partition on content hash, keep min doc_id
 # ---------------------------------------------------------------------------
 
+def content_keys_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text) batch -> per-batch-collapsed (h1, h2, doc_id) rows:
+    the vectorized 128-bit composite content key (two seeded xxhash64
+    lanes — see q_dedup_exact's strength note) with same-batch duplicates
+    collapsed to their min doc_id before anything ships.  Shared by the
+    batch exact dedup and the incremental exact-index path."""
+    import polars as pl
+
+    txt = b.column("text")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    s = pl.Series(txt)
+    keyed = pa.table({
+        "h1": pa.array(s.hash(seed=0).to_numpy().view(np.int64)),
+        "h2": pa.array(s.hash(seed=1).to_numpy().view(np.int64)),
+        "doc_id": b.column("doc_id"),
+    })
+    part = keyed.group_by(["h1", "h2"]).aggregate([("doc_id", "min")])
+    return part.rename_columns(["h1", "h2", "doc_id"])
+
+
 @register(
     "q_dedup_exact",
     sql="SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
@@ -70,24 +91,7 @@ def q_dedup_exact(sf_dir: str):
     digest).  The old per-row ``hashlib.sha1`` loop was the one
     row-at-a-time pass on a full-corpus hot path (VERDICT r03 #3)."""
     ds = t(sf_dir, "documents", ["doc_id", "text"])
-
-    def hash_batch(b: pa.Table) -> pa.Table:
-        import polars as pl
-
-        txt = b.column("text")
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.combine_chunks()
-        s = pl.Series(txt)
-        keyed = pa.table({
-            "h1": pa.array(s.hash(seed=0).to_numpy().view(np.int64)),
-            "h2": pa.array(s.hash(seed=1).to_numpy().view(np.int64)),
-            "doc_id": b.column("doc_id"),
-        })
-        # same-batch duplicates collapse before the exchange
-        part = keyed.group_by(["h1", "h2"]).aggregate([("doc_id", "min")])
-        return part.rename_columns(["h1", "h2", "doc_id"])
-
-    hashed = ds.map_batches(hash_batch, batch_format="pyarrow",
+    hashed = ds.map_batches(content_keys_batch, batch_format="pyarrow",
                             zero_copy_batch=True)
     # distinct texts are corpus-sized: size-switch the final merge on the
     # parquet row count (same convention as q_segment_dedup) — driver

@@ -44,6 +44,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ocr_proofreader_ray.ops.agg import _arrow_blocks, grouped_agg
 from ocr_proofreader_ray.ops.join import broadcast_semi_anti
 from ocr_proofreader_ray.pipelines.dedup import (
     _band_rows,
@@ -335,4 +336,180 @@ def q_dedup_incremental(sf_dir: str):
         "doc_id": res["keep_ids"],
         "phase": pa.array(["inc-1"] * len(res["keep_ids"]), pa.string()),
     }))
+    return old_part.union(new_part)
+
+
+# ---------------------------------------------------------------------------
+# incremental EXACT dedup (persisted content-hash index) — the cheap sibling
+# of the banded plan above: a weekly crawl drops byte-identical re-crawls
+# against the retained corpus without re-hashing it
+# ---------------------------------------------------------------------------
+
+_EXACT_INDEX_SUBDIR = "exact_index"
+
+
+def _exact_index_dir(work_dir: str) -> str:
+    d = os.path.join(work_dir, _EXACT_INDEX_SUBDIR)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _write_exact_index_batch(work_dir: str, keys: "ray.data.Dataset",
+                             batch_tag: str) -> None:
+    """Append one batch of (h1, h2) key rows (append-only per tag, same
+    re-run contract as the band index)."""
+    import shutil
+
+    out = os.path.join(_exact_index_dir(work_dir), batch_tag)
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    keys.select_columns(["h1", "h2"]).write_parquet(
+        out, min_rows_per_file=500_000)
+
+
+def bootstrap_exact_index(docs: "ray.data.Dataset", work_dir: str) -> dict:
+    """Exact-dedup the initial corpus (keep min doc_id per 128-bit content
+    key — `dedup.content_keys_batch`), persist the retained keys, return
+    {"keep": (h1, h2, doc_id) Dataset}."""
+    from ocr_proofreader_ray.pipelines.dedup import content_keys_batch
+
+    keyed = docs.map_batches(content_keys_batch, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    # corpus-sized distinct: Ray hash exchange (the bench-scale driver
+    # combiner would be fine too, but bootstrap is a one-off whose output
+    # is immediately persisted — no reason to route it through the driver)
+    keep = grouped_agg(keyed, ["h1", "h2"],
+                       [("doc_id", "min", "doc_id")], final="ray",
+                       ).materialize()
+    _write_exact_index_batch(work_dir, keep, "bootstrap")
+    return {"keep": keep}
+
+
+def dedup_exact_increment(new_docs: "ray.data.Dataset", work_dir: str,
+                          batch_tag: str) -> dict:
+    """Drop increment docs whose content key is already in the persisted
+    exact index (or duplicates a smaller doc_id within the increment).
+
+    Scale shape: the corpus-sized index STREAMS through one h1-lane
+    ``is_in`` filter against the broadcast increment key set; only the
+    matched key rows (duplicate-bounded + ~|index|·|new|/2^64 expected
+    h1-lane false positives) gather, and the exact (h1, h2) anti join of
+    the increment against them is a vectorized polars join per batch.
+    Nothing corpus-sized ever concentrates.  Returns the kept
+    (doc_id) rows and drop counts; appends kept keys under ``batch_tag``.
+    """
+    import polars as pl
+
+    from ocr_proofreader_ray.pipelines.dedup import content_keys_batch
+
+    keyed = new_docs.map_batches(content_keys_batch, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    # within-increment collapse (increment-sized: driver combiner)
+    new_keys = grouped_agg(keyed, ["h1", "h2"],
+                           [("doc_id", "min", "doc_id")])
+    n_new_distinct = new_keys.num_rows
+    if n_new_distinct == 0:
+        return {"keep": new_keys.select(["doc_id", "h1", "h2"]),
+                "n_dropped_vs_corpus": 0, "n_dropped_within": 0}
+
+    h1_set = new_keys.column("h1").combine_chunks()
+    index = ray.data.read_parquet(_exact_index_dir(work_dir))
+    hit_ref = ray.put(pc.unique(h1_set))
+
+    def h1_hits(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("h1"), value_set=ray.get(hit_ref)))
+
+    matched = index.map_batches(h1_hits, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    matched_tbl = pa.concat_tables(
+        _arrow_blocks(matched.materialize()) or
+        [pa.table({"h1": pa.array([], pa.int64()),
+                   "h2": pa.array([], pa.int64())})],
+        promote_options="default")
+
+    kept = pl.from_arrow(new_keys).join(
+        pl.from_arrow(matched_tbl.select(["h1", "h2"])),
+        on=["h1", "h2"], how="anti").to_arrow()
+    n_dropped_vs_corpus = n_new_distinct - kept.num_rows
+    n_dropped_within = (
+        # rows that collapsed into another increment row's key
+        # (input rows minus distinct keys)
+        int(new_docs.count()) - n_new_distinct)
+
+    _write_exact_index_batch(
+        work_dir, ray.data.from_arrow(kept.select(["h1", "h2"])), batch_tag)
+    return {"keep": kept, "n_dropped_vs_corpus": n_dropped_vs_corpus,
+            "n_dropped_within": n_dropped_within}
+
+
+@register(
+    "q_dedup_exact_incremental",
+    sql="""
+    WITH cut AS (
+      SELECT (min(doc_id) + max(doc_id)) // 2 AS c FROM documents),
+    old_keep AS (
+      SELECT min(doc_id) AS doc_id, text FROM documents
+      WHERE doc_id <= (SELECT c FROM cut) GROUP BY text),
+    new_keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents
+      WHERE doc_id > (SELECT c FROM cut)
+        AND text NOT IN (SELECT text FROM old_keep)
+      GROUP BY text)
+    SELECT doc_id, 'bootstrap' AS phase FROM old_keep
+    UNION ALL
+    SELECT doc_id, 'inc-1' AS phase FROM new_keep
+    """,
+)
+def q_dedup_exact_incremental(sf_dir: str):
+    """Cross-snapshot EXACT dedup over the documents table (lower doc_id
+    half = retained corpus, upper half = crawl increment), via the
+    persisted content-key index — the byte-identical-re-crawl filter every
+    crawl pipeline runs before the fuzzier near-dup passes.
+
+    Hash-exact DuckDB oracle: with increments arriving in ascending doc_id
+    order, incremental exact dedup equals batch exact dedup (global min
+    doc_id per text), which SQL expresses directly; engine/oracle equality
+    additionally assumes no 128-bit content-key collision (probability
+    ~n²/2^128-ish — see q_dedup_exact's strength note)."""
+    import shutil
+
+    from ray.data.aggregate import Max, Min
+
+    docs = t(sf_dir, "documents", ["doc_id", "text"])
+    stats = t(sf_dir, "documents", ["doc_id"]).aggregate(
+        Min("doc_id"), Max("doc_id"))
+    cut = (int(stats["min(doc_id)"]) + int(stats["max(doc_id)"])) // 2
+
+    def below(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less_equal(b.column("doc_id"), cut))
+
+    def above(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("doc_id"), cut))
+
+    old = docs.map_batches(below, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    # materialized: the increment is both counted (within-drop lineage)
+    # and hashed — unmaterialized it would re-run the filter per consumer
+    new = docs.map_batches(above, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    work_dir = os.path.join(
+        "/tmp/opr_exact_incremental",
+        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(work_dir, ignore_errors=True)
+
+    boot = bootstrap_exact_index(old, work_dir)
+    res = dedup_exact_increment(new, work_dir, "inc-1")
+
+    def tag(phase: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "phase": pa.array([phase] * b.num_rows, pa.string()),
+            })
+        return fn
+
+    old_part = boot["keep"].select_columns(["doc_id"]).map_batches(
+        tag("bootstrap"), batch_format="pyarrow", zero_copy_batch=True)
+    new_part = ray.data.from_arrow(tag("inc-1")(res["keep"]))
     return old_part.union(new_part)

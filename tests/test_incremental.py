@@ -124,3 +124,59 @@ def test_empty_increment_is_noop(ray_session, tmp_path):
     res = dedup_increment(empty, _docs(old), work, "empty-inc")
     assert res["keep_ids"].to_pylist() == []
     assert res["n_new"] == 0
+
+
+def test_exact_incremental_planted_fixture(ray_session, tmp_path):
+    """Incremental exact dedup: drop byte-identical re-crawls against the
+    persisted key index AND within the increment; keep everything else."""
+    import pyarrow.parquet as pq
+
+    from ocr_proofreader_ray.pipelines.incremental import (
+        q_dedup_exact_incremental,
+    )
+
+    rows = [
+        # corpus half (doc_id <= (1+20)//2 = 10)
+        {"doc_id": 1, "text": "alpha body"},
+        {"doc_id": 2, "text": "alpha body"},     # in-corpus exact dup of 1
+        {"doc_id": 3, "text": "beta body"},
+        # increment half
+        {"doc_id": 11, "text": "alpha body"},    # re-crawl: drops vs corpus
+        {"doc_id": 12, "text": "gamma body"},
+        {"doc_id": 13, "text": "gamma body"},    # within-increment dup of 12
+        {"doc_id": 20, "text": "delta body"},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    out = {(r["doc_id"], r["phase"])
+           for r in q_dedup_exact_incremental(str(tmp_path)).take_all()}
+    assert out == {(1, "bootstrap"), (3, "bootstrap"),
+                   (12, "inc-1"), (20, "inc-1")}
+    # re-run (same tag) is idempotent: the per-tag index dir overwrites
+    out2 = {(r["doc_id"], r["phase"])
+            for r in q_dedup_exact_incremental(str(tmp_path)).take_all()}
+    assert out2 == out
+
+
+def test_exact_increment_appends_index(ray_session, tmp_path):
+    """A second increment must dedup against keys the FIRST increment
+    admitted (the append-only index grows per tag)."""
+    from ocr_proofreader_ray.pipelines.incremental import (
+        bootstrap_exact_index,
+        dedup_exact_increment,
+    )
+
+    def _docs(rows):
+        return ray.data.from_arrow(pa.Table.from_pylist(
+            [{"doc_id": d, "text": t} for d, t in rows]))
+
+    work = str(tmp_path / "w")
+    bootstrap_exact_index(_docs([(1, "a"), (2, "b")]), work)
+    r1 = dedup_exact_increment(_docs([(10, "c"), (11, "a")]), work, "inc-1")
+    assert sorted(r1["keep"].column("doc_id").to_pylist()) == [10]
+    assert r1["n_dropped_vs_corpus"] == 1
+    # "c" is now retained: a later increment re-crawling it must drop it
+    r2 = dedup_exact_increment(_docs([(20, "c"), (21, "d")]), work, "inc-2")
+    assert sorted(r2["keep"].column("doc_id").to_pylist()) == [21]
+    assert r2["n_dropped_vs_corpus"] == 1
+    assert r2["n_dropped_within"] == 0
