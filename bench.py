@@ -329,7 +329,10 @@ def run_scaling() -> dict:
     lo, hi = 8, 32
     hw = hardware_ceiling(lo, hi)
     legs: dict[int, list[dict]] = {lo: [], hi: []}
-    for _ in range(2):
+    # GRAFT_SCALING_ROUNDS interleaved (lo, hi) rounds, best leg per count:
+    # identical 32-CPU legs have measured 31.6 vs 43.0 s in one window, so
+    # bursty hosts need more than 2 samples for a stable minimum
+    for _ in range(max(1, int(os.environ.get("GRAFT_SCALING_ROUNDS", "2")))):
         legs[lo].append(run(lo))
         legs[hi].append(run(hi))
     r_lo = min(legs[lo], key=lambda r: r["value"])
